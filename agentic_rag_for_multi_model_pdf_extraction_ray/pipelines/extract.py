@@ -1,0 +1,228 @@
+"""Flagship extraction pipeline (the reference's ``app.py ingest`` path,
+re-expressed Ray-Data-first — SURVEY.md §3.1, §7).
+
+    documents_raw ──map_batches(PayloadParser actor pool)──▶ span rows
+        (offset computed per-document inside the parse; a ``part``
+         hash-partition key is stamped per doc)
+    ──groupby(part)──▶ one shuffle total
+    ──map_groups(vectorized in-partition reassembly + atomic
+        partition write + _MANIFEST.json)──▶ manifest rows (tiny)
+
+Design decisions for 100 TB scale:
+
+* **One shuffle.** Document reassembly and partition-granular output
+  share the same exchange: grouping by ``part = hash(doc_id) % n``
+  co-locates every span of a doc AND every doc of an output partition,
+  so in-partition reassembly (sort by (doc_id, offset), run-length
+  pack — all vectorized numpy/pyarrow, no per-doc Python call) and the
+  resumable write happen in the same task.  A per-doc
+  ``groupby(doc_id).map_groups`` variant exists in
+  ``stages/reassemble.py`` for operator-level use.
+* **Resume before the work, not after.** Completed partitions (valid
+  manifests) are dropped by a vectorized filter right after the read,
+  so a resumed run re-parses only missing partitions.
+* **Skew.** ``n_partitions`` bounds the size of the largest in-memory
+  group; doc-size skew (log-normal synth) is additionally handled by
+  the optional size-bucketed parse (`bucketed=True`): coarse
+  ``doc_bytes`` buckets get their own ``batch_size`` so one batch of
+  mega-docs cannot blow a worker heap (SURVEY.md §4.2).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+from ..functions.hashing import stable_bucket
+from ..util import default_concurrency
+from ..parsing import parse_payload
+from ..schema import DOCUMENTS_INTERLEAVED_SCHEMA, SPAN_STRUCT
+from ..state.manifest import completed_partitions, write_partition
+
+_SPAN_PART_SCHEMA = pa.schema(
+    [
+        pa.field("doc_id", pa.string()),
+        pa.field("page_num", pa.int32()),
+        pa.field("kind", pa.string()),
+        pa.field("text", pa.string()),
+        pa.field("media_ref", pa.string()),
+        pa.field("offset", pa.int32()),
+        pa.field("part", pa.int32()),
+    ]
+)
+
+
+class PartitionedPayloadParser:
+    """Actor-pool parse stage that also stamps the partition key.
+
+    Ray analogue of reference ``PDFParser.parse`` (parser.py:34-138)
+    + the kind thresholds M1-M3 (parser.py:31-32,82), emitting
+    span rows with ``part = stable_hash(doc_id) % n_partitions``.
+    """
+
+    def __init__(self, n_partitions: int) -> None:
+        self.n_partitions = n_partitions
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = {k: [] for k in _SPAN_PART_SCHEMA.names}
+        for doc_id, payload in zip(
+            batch.column("doc_id").to_pylist(), batch.column("payload").to_pylist()
+        ):
+            part = stable_bucket(doc_id, self.n_partitions)
+            for s in parse_payload(payload):
+                out["doc_id"].append(doc_id)
+                out["page_num"].append(s.page_num)
+                out["kind"].append(s.kind)
+                out["text"].append(s.text)
+                out["media_ref"].append(s.media_ref)
+                out["offset"].append(s.offset)
+                out["part"].append(part)
+        return pa.Table.from_pydict(out, schema=_SPAN_PART_SCHEMA)
+
+
+def pack_partition(group: pa.Table) -> pa.Table:
+    """Vectorized reassembly of ALL docs in one partition.
+
+    sort by (doc_id, offset) → run-length boundaries of doc_id →
+    one ListArray wrap.  No per-document Python loop.
+    """
+    g = group.sort_by([("doc_id", "ascending"), ("offset", "ascending")])
+    ids = g.column("doc_id").combine_chunks()
+    codes = pc.dictionary_encode(ids).indices.to_numpy(zero_copy_only=False)
+    run_starts = np.flatnonzero(np.r_[True, codes[1:] != codes[:-1]])
+    offsets = np.append(run_starts, len(g)).astype(np.int32)
+    struct = pa.StructArray.from_arrays(
+        [
+            g.column("kind").combine_chunks(),
+            g.column("text").combine_chunks(),
+            g.column("media_ref").combine_chunks(),
+            g.column("offset").combine_chunks(),
+        ],
+        fields=list(SPAN_STRUCT),
+    )
+    spans = pa.ListArray.from_arrays(pa.array(offsets), struct)
+    doc_ids = ids.take(pa.array(run_starts))
+    return pa.Table.from_arrays([doc_ids, spans], schema=DOCUMENTS_INTERLEAVED_SCHEMA)
+
+
+class PartitionWriter:
+    """map_groups sink: reassemble one partition, write atomically,
+    emit its manifest row."""
+
+    def __init__(self, out_dir: str) -> None:
+        self.out_dir = out_dir
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        part = int(group.column("part")[0].as_py())
+        packed = pack_partition(group.drop_columns(["part"]))
+        n_spans = int(group.num_rows)
+        text_bytes = int(
+            pc.sum(pc.binary_length(group.column("text"))).as_py() or 0
+        )
+        fingerprint = f"docs={packed.num_rows};spans={n_spans};text_bytes={text_bytes}"
+        m = write_partition(self.out_dir, part, packed, fingerprint)
+        return pa.Table.from_pylist(
+            [
+                {
+                    "part": part,
+                    "num_docs": m["num_docs"],
+                    "num_spans": n_spans,
+                    "fingerprint": fingerprint,
+                }
+            ]
+        )
+
+
+def parse_to_span_rows(
+    raw_ds: rd.Dataset,
+    n_partitions: int = 64,
+    batch_size: int = 128,
+    concurrency=None,
+    bucketed: bool = False,
+) -> rd.Dataset:
+    """documents_raw → partition-stamped span rows.
+
+    With ``bucketed=True`` the parse runs as per-size-bucket branches
+    with bucket-proportional batch sizes (mega-docs in tiny batches),
+    unioned back — the explicit skew treatment for corpora where doc
+    sizes span orders of magnitude.  The default single pass is right
+    when sizes are bounded.
+    """
+    if concurrency is None:
+        # parse gets half the CPUs; the rest stay free for the read,
+        # the shuffle and the partition writers (a pool that reserves
+        # every CPU starves the other stages and the pipeline serializes)
+        concurrency = default_concurrency(fraction=0.5)
+    if not bucketed:
+        return raw_ds.map_batches(
+            PartitionedPayloadParser,
+            fn_constructor_args=(n_partitions,),
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency,
+        )
+    # size buckets: <64 KiB, 64 KiB-1 MiB, >=1 MiB
+    bounds = [(None, 64 * 1024, 512), (64 * 1024, 1024 * 1024, 64), (1024 * 1024, None, 4)]
+    branches = []
+    for lo, hi, bsz in bounds:
+        def pred(t: pa.Table, lo=lo, hi=hi) -> pa.Table:
+            m = pc.greater_equal(t["doc_bytes"], lo) if lo is not None else None
+            h = pc.less(t["doc_bytes"], hi) if hi is not None else None
+            mask = m if h is None else (h if m is None else pc.and_(m, h))
+            return t.filter(mask)
+
+        branch = raw_ds.map_batches(pred, batch_format="pyarrow").map_batches(
+            PartitionedPayloadParser,
+            fn_constructor_args=(n_partitions,),
+            batch_format="pyarrow",
+            batch_size=bsz,
+            concurrency=concurrency,
+        )
+        branches.append(branch)
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.union(b)
+    return out
+
+
+def run_extraction(
+    raw_ds: rd.Dataset,
+    out_dir: str,
+    n_partitions: int = 64,
+    batch_size: int = 128,
+    concurrency=None,
+    bucketed: bool = False,
+) -> list[dict]:
+    """Resumable end-to-end extraction; returns the manifest rows.
+
+    Skips partitions whose manifests are already complete (the broadcast
+    side is just the small ``done`` set, captured in the filter
+    closure), parses the rest, reassembles + writes per partition.
+    """
+    done = completed_partitions(out_dir)
+    if done:
+        done_arr = np.array(sorted(done), dtype=np.int64)
+
+        def drop_done(t: pa.Table) -> pa.Table:
+            ids = t.column("doc_id").to_pylist()
+            parts = np.array([stable_bucket(d, n_partitions) for d in ids])
+            return t.filter(pa.array(~np.isin(parts, done_arr)))
+
+        raw_ds = raw_ds.map_batches(drop_done, batch_format="pyarrow")
+
+    parse_c = concurrency if concurrency is not None else default_concurrency(0.5)
+    writer_c = max(1, parse_c // 2)
+    span_rows = parse_to_span_rows(raw_ds, n_partitions, batch_size, parse_c, bucketed)
+    manifests = (
+        span_rows.groupby("part")
+        .map_groups(
+            PartitionWriter,
+            fn_constructor_args=(out_dir,),
+            batch_format="pyarrow",
+            concurrency=writer_c,
+        )
+        .take_all()
+    )
+    return manifests

@@ -1,0 +1,97 @@
+"""Per-partition lineage manifests + checkpointed resume.
+
+The north rule requires "per-partition lineage manifests and
+checkpointed resume so a killed run restarts at partition granularity".
+The reference has nothing comparable (its closest analogue is the
+idempotent ChromaDB upsert by chunk_id, ``store.py:71-76``); this is
+new, scale-motivated design (SURVEY.md §4.2).
+
+Layout: the corpus is split into ``n_partitions`` hash partitions of
+``doc_id`` (``stable_hash64(doc_id) % n``).  Each partition writes
+
+    <out_dir>/part=<i>/*.parquet      (the data, written to a tmp dir
+                                       and atomically renamed)
+    <out_dir>/part=<i>/_MANIFEST.json (doc count, span count, a
+                                       content fingerprint, wall time)
+
+A resumed run lists valid manifests and processes only the missing
+partitions; a partition is the retry/restart unit, exactly what a
+multi-node ``ray job submit`` rerun needs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+MANIFEST_NAME = "_MANIFEST.json"
+
+
+def partition_dir(out_dir: str, part: int) -> str:
+    return os.path.join(out_dir, f"part={part}")
+
+
+def completed_partitions(out_dir: str) -> set[int]:
+    """Partitions whose manifest exists and passes the self-check."""
+    done: set[int] = set()
+    if not os.path.isdir(out_dir):
+        return done
+    for name in os.listdir(out_dir):
+        if not name.startswith("part="):
+            continue
+        mpath = os.path.join(out_dir, name, MANIFEST_NAME)
+        if not os.path.isfile(mpath):
+            continue
+        try:
+            with open(mpath) as f:
+                m = json.load(f)
+            if m.get("status") == "complete":
+                done.add(int(name.split("=", 1)[1]))
+        except (ValueError, OSError):
+            continue
+    return done
+
+
+def write_partition(out_dir: str, part: int, table: pa.Table, fingerprint: str) -> dict:
+    """Atomically write one partition's data + manifest.
+
+    Write to a tmp sibling then ``os.replace``-rename into place, so a
+    kill mid-write never leaves a partition that looks complete.
+    """
+    final = partition_dir(out_dir, part)
+    tmp = final + f".tmp-{uuid.uuid4().hex[:8]}"
+    os.makedirs(tmp, exist_ok=True)
+    t0 = time.perf_counter()
+    pq.write_table(table, os.path.join(tmp, "data.parquet"))
+    manifest = {
+        "status": "complete",
+        "partition": part,
+        "num_docs": table.num_rows,
+        "fingerprint": fingerprint,
+        "wall_sec": round(time.perf_counter() - t0, 4),
+        "written_at": time.time(),
+    }
+    with open(os.path.join(tmp, MANIFEST_NAME), "w") as f:
+        json.dump(manifest, f)
+    if os.path.isdir(final):
+        shutil.rmtree(final)
+    os.replace(tmp, final)
+    return manifest
+
+
+def read_output(out_dir: str) -> pa.Table:
+    """Read back all completed partitions (driver-side, small results)."""
+    parts = sorted(completed_partitions(out_dir))
+    tables = [
+        pq.read_table(os.path.join(partition_dir(out_dir, p), "data.parquet"))
+        for p in parts
+    ]
+    if not tables:
+        raise FileNotFoundError(f"no completed partitions under {out_dir}")
+    return pa.concat_tables(tables)
