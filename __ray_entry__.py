@@ -1,44 +1,827 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship extraction pipeline on sf0.001;
+``queries()`` exposes one callable per implemented operator/pipeline
+from SURVEY.md §2 (+ the training-data operator family);
+``oracle_sql()`` gives the DuckDB-equivalent SQL for every
+SQL-expressible query, with identical column names and explicit
+rounding on both sides.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported; no
+ray.init()/shutdown() here or in the library.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+SF0001 = "/root/testdata/sf0.001"
+
+
+def _docs_raw_ds(sf_dir: str):
+    """documents test table → streaming synthesized documents_raw."""
+    from agentic_rag_for_multi_model_pdf_extraction_ray.sources.corpus import read_table
+    from agentic_rag_for_multi_model_pdf_extraction_ray.synth import synthesize_raw_batch
+
+    return read_table(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        synthesize_raw_batch, batch_format="pyarrow", batch_size=64
+    )
+
+
+def _span_rows_ds(sf_dir: str):
+    # stateless-task parse here (regex state is trivial); the flagship
+    # pipeline uses the actor-pool variant with explicit pool sizing
+    from agentic_rag_for_multi_model_pdf_extraction_ray.stages.parse import (
+        parse_spans_batch,
+    )
+
+    return _docs_raw_ds(sf_dir).map_batches(
+        parse_spans_batch, batch_format="pyarrow", batch_size=64
+    )
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: synthesize corpus from sf0.001 docs → parse → reassemble
+    → resumable partitioned write → return the interleaved documents."""
+    import ray.data as rd
+
+    from agentic_rag_for_multi_model_pdf_extraction_ray.pipelines.extract import (
+        run_extraction,
+    )
+    from agentic_rag_for_multi_model_pdf_extraction_ray.state.manifest import read_output
+
+    out_dir = "/tmp/graft_entry_out"
+    import shutil
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    run_extraction(_docs_raw_ds(SF0001), out_dir, n_partitions=16, concurrency=2)
+    return read_output(out_dir)
+
+
+# --------------------------------------------------------------------
+# queries
+# --------------------------------------------------------------------
+
+
+def _q1_pricing_summary(sf_dir: str):
+    """TPC-H Q1 shape: partial per-batch aggregation then tiny global
+    groupby (ops/agg.py combiner pattern)."""
+    from agentic_rag_for_multi_model_pdf_extraction_ray.ops.agg import (
+        partial_groupby_sum_count,
+    )
+    from agentic_rag_for_multi_model_pdf_extraction_ray.sources.corpus import read_table
+
+    li = read_table(
+        sf_dir,
+        "lineitem",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+                 "l_discount", "l_shipdate"],
+    )
+
+    from agentic_rag_for_multi_model_pdf_extraction_ray.functions.rounding import (
+        cents,
+        round_half_up,
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less_equal(t["l_shipdate"], pa.scalar(pd.Timestamp("1998-09-01"))))
+        ep = t["l_extendedprice"].to_numpy()
+        disc = t["l_discount"].to_numpy()
+        # exact integer cents per row (order-independent sums)
+        return t.append_column("base_cents", pa.array(cents(ep))).append_column(
+            "disc_cents", pa.array(cents(ep * (1.0 - disc)))
+        )
+
+    agg = partial_groupby_sum_count(
+        li.map_batches(prep, batch_format="pyarrow"),
+        keys=["l_returnflag", "l_linestatus"],
+        sum_cols={"l_quantity": "sum_qty", "base_cents": "base_cents",
+                  "disc_cents": "disc_cents"},
+        count_alias="count_order",
+    )
+    df = agg.to_pandas()
+    df["sum_base_price"] = df["base_cents"] / 100.0
+    df["sum_disc_price"] = df["disc_cents"] / 100.0
+    df["avg_qty"] = round_half_up(df["sum_qty"] / df["count_order"], 6)
+    return df[["l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
+               "sum_disc_price", "avg_qty", "count_order"]]
+
+
+def _q_top_orders(sf_dir: str):
+    from agentic_rag_for_multi_model_pdf_extraction_ray.sources.corpus import read_table
+
+    return (
+        read_table(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+        .sort(["o_totalprice", "o_orderkey"], descending=[True, False])
+        .limit(10)
+    )
+
+
+def _q_topk_docs(sf_dir: str):
+    from agentic_rag_for_multi_model_pdf_extraction_ray.sources.corpus import read_table
+
+    return (
+        read_table(sf_dir, "documents", columns=["doc_id", "n_chars"])
+        .sort(["n_chars", "doc_id"], descending=[True, False])
+        .limit(10)
+    )
+
+
+def _q_region_customer_stats(sf_dir: str):
+    """Dimension broadcast join: customer ⋈ nation ⋈ region (small sides
+    shipped once via ray.put), then grouped aggregate."""
+    import pyarrow.parquet as pq
+
+    from agentic_rag_for_multi_model_pdf_extraction_ray.ops.agg import (
+        partial_groupby_sum_count,
+    )
+    from agentic_rag_for_multi_model_pdf_extraction_ray.ops.join import broadcast_merge
+    from agentic_rag_for_multi_model_pdf_extraction_ray.sources.corpus import read_table
+
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet")).to_pandas()
+    region = pq.read_table(os.path.join(sf_dir, "region.parquet")).to_pandas()
+    dim = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")[
+        ["n_nationkey", "r_name"]
+    ]
+    from agentic_rag_for_multi_model_pdf_extraction_ray.functions.rounding import (
+        cents,
+        round_half_up,
+    )
+
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey", "c_acctbal"])
+
+    def add_cents(b: pd.DataFrame) -> pd.DataFrame:
+        b["bal_cents"] = cents(b["c_acctbal"].to_numpy())
+        return b
+
+    joined = broadcast_merge(cust, dim, left_on="c_nationkey", right_on="n_nationkey")
+    agg = partial_groupby_sum_count(
+        joined.map_batches(add_cents, batch_format="pandas"),
+        keys=["r_name"], sum_cols={"bal_cents": "bal_cents"}, count_alias="n_customers",
+    ).to_pandas()
+    agg["avg_acctbal"] = round_half_up(
+        (agg["bal_cents"] / 100.0) / agg["n_customers"], 6
+    )
+    return agg[["r_name", "n_customers", "avg_acctbal"]]
+
+
+def _q_segment_revenue(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    from agentic_rag_for_multi_model_pdf_extraction_ray.ops.agg import (
+        partial_groupby_sum_count,
+    )
+    from agentic_rag_for_multi_model_pdf_extraction_ray.ops.join import broadcast_merge
+    from agentic_rag_for_multi_model_pdf_extraction_ray.sources.corpus import read_table
+
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_mktsegment"]
+    ).to_pandas()
+    from agentic_rag_for_multi_model_pdf_extraction_ray.functions.rounding import cents
+
+    orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def add_cents(b: pd.DataFrame) -> pd.DataFrame:
+        b["price_cents"] = cents(b["o_totalprice"].to_numpy())
+        return b
+
+    joined = broadcast_merge(orders, cust, left_on="o_custkey", right_on="c_custkey")
+    agg = partial_groupby_sum_count(
+        joined.map_batches(add_cents, batch_format="pandas"),
+        keys=["c_mktsegment"], sum_cols={"price_cents": "price_cents"}, count_alias="n_orders",
+    ).to_pandas()
+    agg["revenue"] = agg["price_cents"] / 100.0
+    return agg[["c_mktsegment", "revenue", "n_orders"]]
+
+
+def _q3_shipping(sf_dir: str):
+    """Q3 shape: filtered orders broadcast into lineitem, grouped
+    revenue, top 10."""
+    import pyarrow.parquet as pq
+
+    from agentic_rag_for_multi_model_pdf_extraction_ray.ops.agg import (
+        partial_groupby_sum_count,
+    )
+    from agentic_rag_for_multi_model_pdf_extraction_ray.ops.join import broadcast_merge
+    from agentic_rag_for_multi_model_pdf_extraction_ray.sources.corpus import read_table
+
+    cutoff = pd.Timestamp("1995-03-15")
+    orders = pq.read_table(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_orderkey", "o_orderdate"]
+    ).to_pandas()
+    orders = orders[orders["o_orderdate"] < cutoff]
+    li = read_table(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    from agentic_rag_for_multi_model_pdf_extraction_ray.functions.rounding import cents
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["l_shipdate"], pa.scalar(cutoff)))
+        ep = t["l_extendedprice"].to_numpy()
+        disc = t["l_discount"].to_numpy()
+        return t.append_column("rev_cents", pa.array(cents(ep * (1.0 - disc))))
+
+    joined = broadcast_merge(
+        li.map_batches(prep, batch_format="pyarrow"),
+        orders, left_on="l_orderkey", right_on="o_orderkey",
+    )
+    agg = partial_groupby_sum_count(
+        joined, keys=["l_orderkey"], sum_cols={"rev_cents": "rev_cents"}, count_alias="_n"
+    ).to_pandas()
+    agg["revenue"] = agg["rev_cents"] / 100.0
+    out = agg.sort_values(["revenue", "l_orderkey"], ascending=[False, True]).head(10)
+    return out[["l_orderkey", "revenue"]].reset_index(drop=True)
+
+
+def _q_order_lineitem_join(sf_dir: str):
+    """Large⋈large shuffle join (Dataset.join, hash-partitioned)."""
+    from agentic_rag_for_multi_model_pdf_extraction_ray.ops.agg import (
+        partial_groupby_sum_count,
+    )
+    from agentic_rag_for_multi_model_pdf_extraction_ray.ops.join import shuffle_join
+    from agentic_rag_for_multi_model_pdf_extraction_ray.sources.corpus import read_table
+
+    from agentic_rag_for_multi_model_pdf_extraction_ray.functions.rounding import cents
+
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice"])
+
+    def add_cents(b: pd.DataFrame) -> pd.DataFrame:
+        b["price_cents"] = cents(b["l_extendedprice"].to_numpy())
+        return b[["l_orderkey", "price_cents"]]
+
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_orderstatus"])
+    joined = shuffle_join(li.map_batches(add_cents, batch_format="pandas"),
+                          orders, on="l_orderkey", right_on="o_orderkey",
+                          num_partitions=8)
+    agg = partial_groupby_sum_count(
+        joined, keys=["o_orderstatus"], sum_cols={"price_cents": "price_cents"},
+        count_alias="n_items",
+    ).to_pandas()
+    agg["sum_price"] = agg["price_cents"] / 100.0
+    return agg[["o_orderstatus", "sum_price", "n_items"]]
+
+
+def _q_events_filter_project(sf_dir: str):
+    from agentic_rag_for_multi_model_pdf_extraction_ray.sources.corpus import read_table
+
+    ev = read_table(sf_dir, "events", columns=["event_id", "event_type", "value"])
+
+    def f(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.equal(t["event_type"], "purchase"), pc.greater(t["value"], 100.0))
+        t = t.filter(m)
+        return t.append_column("value2", pc.multiply(t["value"], 2.0)).select(
+            ["event_id", "value2"]
+        )
+
+    return ev.map_batches(f, batch_format="pyarrow")
+
+
+def _q_events_tumbling(sf_dir: str):
+    from agentic_rag_for_multi_model_pdf_extraction_ray.ops.window import tumbling_window
+    from agentic_rag_for_multi_model_pdf_extraction_ray.sources.corpus import read_table
+
+    ev = read_table(sf_dir, "events", columns=["event_type", "ts", "value"])
+    df = tumbling_window(ev).to_pandas()
+    return df[["event_type", "window_start", "n", "sum_value"]]
+
+
+def _q_sessionize(sf_dir: str):
+    from agentic_rag_for_multi_model_pdf_extraction_ray.ops.window import sessionize
+    from agentic_rag_for_multi_model_pdf_extraction_ray.sources.corpus import read_table
+
+    ev = read_table(sf_dir, "events", columns=["user_id", "event_id", "ts"])
+    return sessionize(ev)
+
+
+def _q_distinct_users(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    from agentic_rag_for_multi_model_pdf_extraction_ray.sources.corpus import read_table
+
+    ev = read_table(sf_dir, "events", columns=["event_type", "user_id"])
+    pairs = ev.groupby(["event_type", "user_id"]).aggregate(Count(alias_name="_c"))
+    return pairs.groupby("event_type").aggregate(Count(alias_name="n_users"))
+
+
+def _q_dedup_exact(sf_dir: str):
+    from agentic_rag_for_multi_model_pdf_extraction_ray.ops.dedup import exact_dedup_keys
+    from agentic_rag_for_multi_model_pdf_extraction_ray.sources.corpus import read_table
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return exact_dedup_keys(docs)
+
+
+def _q_dedup_normalized(sf_dir: str):
+    from agentic_rag_for_multi_model_pdf_extraction_ray.ops.dedup import exact_dedup_keys
+    from agentic_rag_for_multi_model_pdf_extraction_ray.sources.corpus import read_table
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return exact_dedup_keys(docs, normalize=True)
+
+
+def _q_token_stats(sf_dir: str):
+    from agentic_rag_for_multi_model_pdf_extraction_ray.functions.text import (
+        avg_token_len_batch,
+        token_count_batch,
+    )
+    from agentic_rag_for_multi_model_pdf_extraction_ray.sources.corpus import read_table
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def f(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": b["doc_id"],
+            "n_tokens": token_count_batch(b["text"]),
+            "avg_token_len": avg_token_len_batch(b["text"]),
+        })
+
+    return docs.map_batches(f, batch_format="pandas")
+
+
+def _q_quality_filter(sf_dir: str):
+    from agentic_rag_for_multi_model_pdf_extraction_ray.functions.text import (
+        avg_token_len_batch,
+        token_count_batch,
+    )
+    from agentic_rag_for_multi_model_pdf_extraction_ray.sources.corpus import read_table
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def f(b: pd.DataFrame) -> pd.DataFrame:
+        n = token_count_batch(b["text"])
+        a = avg_token_len_batch(b["text"])
+        keep = (n >= 5) & (n <= 100000) & (a >= 2.0) & (a <= 15.0)
+        return pd.DataFrame({"doc_id": b["doc_id"][keep], "n_tokens": n[keep]})
+
+    return docs.map_batches(f, batch_format="pandas")
+
+
+def _q_langid(sf_dir: str):
+    from agentic_rag_for_multi_model_pdf_extraction_ray.functions.text import langid_batch
+    from agentic_rag_for_multi_model_pdf_extraction_ray.sources.corpus import read_table
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def f(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"doc_id": b["doc_id"], "lang_pred": langid_batch(b["text"])})
+
+    return docs.map_batches(f, batch_format="pandas")
+
+
+def _q_fingerprint(sf_dir: str):
+    from agentic_rag_for_multi_model_pdf_extraction_ray.functions.text import (
+        fingerprint_batch,
+    )
+    from agentic_rag_for_multi_model_pdf_extraction_ray.sources.corpus import read_table
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def f(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"doc_id": b["doc_id"], "fp": fingerprint_batch(b["text"])})
+
+    return docs.map_batches(f, batch_format="pandas")
+
+
+def _q_confidence_filter(sf_dir: str):
+    """M11 analogue with an md5-derived deterministic confidence (so a
+    SQL oracle exists): conf = (int(md5[:4],16) % 100) / 100."""
+    from agentic_rag_for_multi_model_pdf_extraction_ray.functions.text import (
+        fingerprint_batch,
+    )
+    from agentic_rag_for_multi_model_pdf_extraction_ray.sources.corpus import read_table
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def f(b: pd.DataFrame) -> pd.DataFrame:
+        fp = fingerprint_batch(b["text"])
+        conf = fp.map(lambda h: (int(h[:4], 16) % 100) / 100.0)
+        keep = conf >= 0.25
+        return pd.DataFrame({"doc_id": b["doc_id"][keep], "confidence": conf[keep]})
+
+    return docs.map_batches(f, batch_format="pandas")
+
+
+def _q_source_histogram(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    from agentic_rag_for_multi_model_pdf_extraction_ray.sources.corpus import read_table
+
+    docs = read_table(sf_dir, "documents", columns=["source"])
+    return docs.groupby("source").aggregate(Count(alias_name="n"))
+
+
+def _q_knn(sf_dir: str):
+    """Brute-force cosine top-10 to vec_id 0's embedding."""
+    import pyarrow.parquet as pq
+
+    from agentic_rag_for_multi_model_pdf_extraction_ray.ops.similarity import (
+        knn_bruteforce,
+    )
+    from agentic_rag_for_multi_model_pdf_extraction_ray.sources.corpus import read_table
+
+    emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    q = np.array(emb.filter(pc.equal(emb["vec_id"], 0))["embedding"].to_pylist()[0])
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return knn_bruteforce(ds, q, k=10, exclude_ids={0})
+
+
+def _q_cosine_pairs(sf_dir: str):
+    from agentic_rag_for_multi_model_pdf_extraction_ray.ops.dedup import (
+        cosine_near_dup_pairs,
+    )
+    from agentic_rag_for_multi_model_pdf_extraction_ray.sources.corpus import read_table
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return cosine_near_dup_pairs(ds, threshold=0.4)
+
+
+def _q_embed_label_norms(sf_dir: str):
+    """avg L2 norm per label — vectorized numpy inside map_batches."""
+    from agentic_rag_for_multi_model_pdf_extraction_ray.ops.agg import (
+        partial_groupby_sum_count,
+    )
+    from agentic_rag_for_multi_model_pdf_extraction_ray.sources.corpus import read_table
+
+    from agentic_rag_for_multi_model_pdf_extraction_ray.functions.rounding import (
+        micro_units,
+        round_half_up,
+    )
+
+    ds = read_table(sf_dir, "embeddings", columns=["label", "embedding"])
+
+    def f(b: pd.DataFrame) -> pd.DataFrame:
+        M = np.stack(b["embedding"].to_numpy()).astype(np.float64)
+        # per-row micro-units (exact int sums; dot product computed the
+        # same way as the SQL oracle: sequential sum of squares)
+        norms = np.sqrt(np.einsum("ij,ij->i", M, M))
+        return pd.DataFrame({"label": b["label"], "norm_micro": micro_units(norms)})
+
+    agg = partial_groupby_sum_count(
+        ds.map_batches(f, batch_format="pandas"),
+        keys=["label"], sum_cols={"norm_micro": "norm_micro"}, count_alias="n",
+    ).to_pandas()
+    agg["avg_norm"] = round_half_up((agg["norm_micro"] / 1e6) / agg["n"], 6)
+    return agg[["label", "n", "avg_norm"]]
+
+
+# ---- extraction-engine queries (non-SQL-expressible; rows-only) ----
+
+
+def _q_extract_spans(sf_dir: str):
+    return _span_rows_ds(sf_dir)
+
+
+def _q_extract_documents(sf_dir: str):
+    """Full flagship pipeline; summarized per doc (stable schema)."""
+    import shutil
+
+    from agentic_rag_for_multi_model_pdf_extraction_ray.pipelines.extract import (
+        run_extraction,
+    )
+    from agentic_rag_for_multi_model_pdf_extraction_ray.state.manifest import read_output
+
+    out_dir = "/tmp/graft_q_extract_docs"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    run_extraction(_docs_raw_ds(sf_dir), out_dir, n_partitions=16, concurrency=2)
+    t = read_output(out_dir)
+    spans = t.column("spans")
+    n_spans = pc.list_value_length(spans)
+    return pa.Table.from_arrays(
+        [t.column("doc_id"), n_spans], names=["doc_id", "n_spans"]
+    )
+
+
+def _q_kind_histogram(sf_dir: str):
+    from agentic_rag_for_multi_model_pdf_extraction_ray.stages.chunk import kind_histogram
+
+    return kind_histogram(_span_rows_ds(sf_dir))
+
+
+def _q_chunks_direct(sf_dir: str):
+    from agentic_rag_for_multi_model_pdf_extraction_ray.stages.chunk import (
+        confidence_filter,
+        transform_chunks,
+    )
+
+    chunks = transform_chunks(_span_rows_ds(sf_dir), mode="direct")
+    return confidence_filter(chunks).select_columns(
+        ["chunk_id", "doc_id", "kind", "offset", "structured_text", "confidence"]
+    )
+
+
+def _q_chunks_typed(sf_dir: str):
+    from agentic_rag_for_multi_model_pdf_extraction_ray.stages.chunk import (
+        transform_chunks,
+    )
+
+    return transform_chunks(_span_rows_ds(sf_dir), mode="typed").select_columns(
+        ["chunk_id", "doc_id", "kind", "offset", "structured_text", "confidence",
+         "agent_notes"]
+    )
+
+
+def _q_embed_chunks(sf_dir: str):
+    """Embedding stage (T6 analogue) over extracted text chunks; returns
+    per-chunk checksum of the vector (stable schema, no list col)."""
+    from agentic_rag_for_multi_model_pdf_extraction_ray.stages.chunk import (
+        transform_chunks,
+    )
+    from agentic_rag_for_multi_model_pdf_extraction_ray.stages.embed import embed
+
+    chunks = transform_chunks(_span_rows_ds(sf_dir), mode="direct")
+    emb = embed(chunks, dim=64, text_col="structured_text", concurrency=1)
+
+    def summarize(b: pd.DataFrame) -> pd.DataFrame:
+        M = np.stack(b["embedding"].to_numpy())
+        return pd.DataFrame({
+            "chunk_id": b["chunk_id"],
+            "vec_sum": np.round(M.sum(axis=1).astype(np.float64), 4),
+        })
+
+    return emb.map_batches(summarize, batch_format="pandas")
+
+
+def _q_minhash_clusters(sf_dir: str):
+    from agentic_rag_for_multi_model_pdf_extraction_ray.ops.dedup import (
+        minhash_dedup_clusters,
+    )
+    from agentic_rag_for_multi_model_pdf_extraction_ray.sources.corpus import read_table
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return minhash_dedup_clusters(docs, threshold=0.5)
+
+
+def _q_simhash(sf_dir: str):
+    from agentic_rag_for_multi_model_pdf_extraction_ray.ops.dedup import (
+        simhash_signatures,
+    )
+    from agentic_rag_for_multi_model_pdf_extraction_ray.sources.corpus import read_table
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return simhash_signatures(docs)
+
+
+def _q_ngram_jaccard(sf_dir: str):
+    from agentic_rag_for_multi_model_pdf_extraction_ray.ops.dedup import (
+        ngram_jaccard_pairs,
+    )
+    from agentic_rag_for_multi_model_pdf_extraction_ray.sources.corpus import read_table
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return ngram_jaccard_pairs(docs, n=3, threshold=0.3)
+
+
+def _q_knn_lsh(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    from agentic_rag_for_multi_model_pdf_extraction_ray.ops.similarity import knn_lsh
+    from agentic_rag_for_multi_model_pdf_extraction_ray.sources.corpus import read_table
+
+    emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    q = np.array(emb.filter(pc.equal(emb["vec_id"], 0))["embedding"].to_pylist()[0])
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return knn_lsh(ds, q, k=10, n_bits=6, n_probes=1)
+
+
+def _q_media_features(sf_dir: str):
+    from agentic_rag_for_multi_model_pdf_extraction_ray.stages.media import (
+        extract_media_features,
+    )
+
+    return extract_media_features(_docs_raw_ds(sf_dir), concurrency=2)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # relational / SQL-checked
+        "q1_pricing_summary": _q1_pricing_summary,
+        "q_top_orders": _q_top_orders,
+        "q_topk_docs": _q_topk_docs,
+        "q_region_customer_stats": _q_region_customer_stats,
+        "q_segment_revenue": _q_segment_revenue,
+        "q3_shipping": _q3_shipping,
+        "q_order_lineitem_join": _q_order_lineitem_join,
+        "q_events_filter_project": _q_events_filter_project,
+        "q_events_tumbling": _q_events_tumbling,
+        "q_sessionize": _q_sessionize,
+        "q_distinct_users": _q_distinct_users,
+        "q_dedup_exact": _q_dedup_exact,
+        "q_dedup_normalized": _q_dedup_normalized,
+        "q_token_stats": _q_token_stats,
+        "q_quality_filter": _q_quality_filter,
+        "q_langid": _q_langid,
+        "q_fingerprint": _q_fingerprint,
+        "q_confidence_filter": _q_confidence_filter,
+        "q_source_histogram": _q_source_histogram,
+        "q_knn": _q_knn,
+        "q_cosine_pairs": _q_cosine_pairs,
+        "q_embed_label_norms": _q_embed_label_norms,
+        # extraction engine (rows-only checks; pytest holds the strict gate)
+        "q_extract_spans": _q_extract_spans,
+        "q_extract_documents": _q_extract_documents,
+        "q_kind_histogram": _q_kind_histogram,
+        "q_chunks_direct": _q_chunks_direct,
+        "q_chunks_typed": _q_chunks_typed,
+        "q_embed_chunks": _q_embed_chunks,
+        "q_minhash_clusters": _q_minhash_clusters,
+        "q_simhash": _q_simhash,
+        "q_ngram_jaccard": _q_ngram_jaccard,
+        "q_knn_lsh": _q_knn_lsh,
+        "q_media_features": _q_media_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   sum(l_quantity) AS sum_qty,
+                   sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) / 100.0
+                     AS sum_base_price,
+                   sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT))
+                     / 100.0 AS sum_disc_price,
+                   floor((sum(l_quantity) / count(*)) * 1000000 + 0.5) / 1000000 AS avg_qty,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "q_top_orders": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+        """,
+        "q_topk_docs": """
+            SELECT doc_id, n_chars FROM documents
+            ORDER BY n_chars DESC, doc_id LIMIT 10
+        """,
+        "q_region_customer_stats": """
+            SELECT r_name, count(*) AS n_customers,
+                   floor(((sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) / 100.0)
+                          / count(*)) * 1000000 + 0.5) / 1000000 AS avg_acctbal
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
+        """,
+        "q_segment_revenue": """
+            SELECT c_mktsegment,
+                   sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) / 100.0 AS revenue,
+                   count(*) AS n_orders
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+        """,
+        "q3_shipping": """
+            SELECT l_orderkey,
+                   sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT))
+                     / 100.0 AS revenue
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE o_orderdate < TIMESTAMP '1995-03-15'
+              AND l_shipdate > TIMESTAMP '1995-03-15'
+            GROUP BY l_orderkey
+            ORDER BY revenue DESC, l_orderkey LIMIT 10
+        """,
+        "q_order_lineitem_join": """
+            SELECT o_orderstatus,
+                   sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) / 100.0 AS sum_price,
+                   count(*) AS n_items
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderstatus
+        """,
+        "q_events_filter_project": """
+            SELECT event_id, value * 2 AS value2 FROM events
+            WHERE event_type = 'purchase' AND value > 100
+        """,
+        "q_events_tumbling": """
+            SELECT event_type,
+                   strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+                   count(*) AS n,
+                   sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) / 100.0 AS sum_value
+            FROM events GROUP BY event_type, date_trunc('hour', ts)
+        """,
+        "q_sessionize": """
+            WITH o AS (
+              SELECT user_id, event_id, ts,
+                CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w > INTERVAL 1800 SECOND
+                     THEN 1 ELSE 0 END AS new_s
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), s AS (
+              SELECT user_id, ts,
+                sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) - 1 AS session_idx
+              FROM o
+            )
+            SELECT user_id, session_idx, count(*) AS n_events,
+                   strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start
+            FROM s GROUP BY user_id, session_idx
+        """,
+        "q_distinct_users": """
+            SELECT event_type, count(DISTINCT user_id) AS n_users
+            FROM events GROUP BY event_type
+        """,
+        "q_dedup_exact": """
+            SELECT md5(text) AS fp, min(doc_id) AS doc_id
+            FROM documents GROUP BY md5(text)
+        """,
+        "q_dedup_normalized": """
+            SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+                   min(doc_id) AS doc_id
+            FROM documents
+            GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+        """,
+        "q_token_stats": """
+            SELECT doc_id,
+              CASE WHEN trim(text) = '' THEN 0
+                   ELSE length(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+              CASE WHEN trim(text) = '' THEN 0.0
+                   ELSE floor((length(regexp_replace(trim(text), '\\s+', '', 'g'))
+                        * 1.0 / length(string_split_regex(trim(text), '\\s+')))
+                        * 1000000 + 0.5) / 1000000
+              END AS avg_token_len
+            FROM documents
+        """,
+        "q_quality_filter": """
+            WITH t AS (
+              SELECT doc_id,
+                CASE WHEN trim(text) = '' THEN 0
+                     ELSE length(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+                CASE WHEN trim(text) = '' THEN 0.0
+                     ELSE floor((length(regexp_replace(trim(text), '\\s+', '', 'g'))
+                          * 1.0 / length(string_split_regex(trim(text), '\\s+')))
+                          * 1000000 + 0.5) / 1000000
+                END AS avg_token_len
+              FROM documents
+            )
+            SELECT doc_id, n_tokens FROM t
+            WHERE n_tokens BETWEEN 5 AND 100000
+              AND avg_token_len BETWEEN 2.0 AND 15.0
+        """,
+        "q_langid": """
+            WITH t AS (
+              SELECT doc_id, text,
+                     string_split(lower(trim(text)), ' ') AS toks
+              FROM documents
+            ), c AS (
+              SELECT doc_id, text,
+                len(list_filter(toks, x -> x IN ('the','and','of','to','is'))) AS en,
+                len(list_filter(toks, x -> x IN ('le','la','les','et','est'))) AS fr,
+                len(list_filter(toks, x -> x IN ('el','los','las','es','y'))) AS es,
+                len(list_filter(toks, x -> x IN ('der','die','das','und','ist'))) AS de
+              FROM t
+            )
+            SELECT doc_id,
+              CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+                   WHEN greatest(en, fr, es, de) = 0 THEN 'und'
+                   WHEN en >= fr AND en >= es AND en >= de THEN 'en'
+                   WHEN fr >= es AND fr >= de THEN 'fr'
+                   WHEN es >= de THEN 'es'
+                   ELSE 'de' END AS lang_pred
+            FROM c
+        """,
+        "q_fingerprint": "SELECT doc_id, md5(text) AS fp FROM documents",
+        "q_confidence_filter": """
+            WITH t AS (
+              SELECT doc_id,
+                (('0x' || substr(md5(text), 1, 4))::INT % 100) / 100.0 AS confidence
+              FROM documents
+            )
+            SELECT doc_id, confidence FROM t WHERE confidence >= 0.25
+        """,
+        "q_source_histogram": """
+            SELECT source, count(*) AS n FROM documents GROUP BY source
+        """,
+        "q_knn": """
+            WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+            SELECT vec_id,
+                   floor(list_cosine_similarity(embedding::DOUBLE[], (SELECT qv FROM q))
+                         * 1000000 + 0.5) / 1000000 AS score
+            FROM embeddings WHERE vec_id != 0
+            ORDER BY score DESC, vec_id LIMIT 10
+        """,
+        "q_cosine_pairs": """
+            SELECT a.vec_id AS a, b.vec_id AS b,
+                   floor(list_cosine_similarity(a.embedding::DOUBLE[],
+                                                b.embedding::DOUBLE[])
+                         * 1000000 + 0.5) / 1000000 AS cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+        """,
+        "q_embed_label_norms": """
+            SELECT label, count(*) AS n,
+                   floor(((sum(CAST(floor(sqrt(list_dot_product(embedding::DOUBLE[],
+                                                                embedding::DOUBLE[]))
+                                           * 1000000 + 0.5) AS BIGINT)) / 1000000.0)
+                          / count(*)) * 1000000 + 0.5) / 1000000 AS avg_norm
+            FROM embeddings GROUP BY label
+        """,
+    }

@@ -1,0 +1,352 @@
+"""Deduplication family: exact, normalized-exact, MinHash+LSH,
+SimHash, n-gram Jaccard, embedding-cosine near-dup.
+
+The reference deduplicates only retrieval hits by exact text
+(``orchestrator.py:125-126``); a 100 TB training-data pipeline needs
+the full family.  Shapes:
+
+* exact / normalized: vectorized fingerprint column in ``map_batches``
+  → ``groupby(fp).aggregate(Min(doc_id))`` — the shuffle moves one
+  small row per distinct fingerprint group (Ray pushes partial
+  Min/Count into the map side).
+* MinHash+LSH: shingle → signature per batch (vectorized modular
+  hashing) → explode to (band_key, doc_id) rows → ``groupby(band_key)``
+  → candidate pairs within buckets → Jaccard verify → min-label
+  connected components.  Only band-key rows shuffle, never documents.
+* SimHash: 64-bit signature per doc; near-dup candidates = identical
+  value on any of 4 16-bit sub-bands (Hamming ≤ 3 guarantee via
+  pigeonhole needs the verify step, done on candidate pairs).
+* embedding cosine: per-batch matmul against a broadcast matrix (small
+  corpora) or LSH-bucketed (random-hyperplane signs) at scale.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+from ray.data.aggregate import Min
+
+from ..functions.hashing import (
+    MinHasher,
+    char_shingles,
+    hamming64,
+    jaccard,
+    simhash64,
+    stable_hash64,
+    word_ngrams,
+)
+from ..functions.rounding import round_half_up
+from ..functions.text import fingerprint_batch
+
+# ---------- exact ----------
+
+
+def exact_dedup_keys(ds: rd.Dataset, id_col: str = "doc_id", text_col: str = "text",
+                     normalize: bool = False) -> rd.Dataset:
+    """One row per distinct (possibly normalized) text: (fp, doc_id=min id).
+
+    SQL-oracle shape: GROUP BY md5(text) → min(doc_id).
+    """
+
+    def add_fp(batch: pd.DataFrame) -> pd.DataFrame:
+        t = batch[text_col]
+        if normalize:
+            t = t.fillna("").str.lower().str.strip().str.replace(r"\s+", " ", regex=True)
+        return pd.DataFrame({"fp": fingerprint_batch(t), id_col: batch[id_col]})
+
+    return ds.map_batches(add_fp, batch_format="pandas").groupby("fp").aggregate(
+        Min(id_col, alias_name=id_col)
+    )
+
+
+def exact_dedup(ds: rd.Dataset, id_col: str = "doc_id", text_col: str = "text") -> rd.Dataset:
+    """Keep the min-id representative row per exact text.
+
+    groupby(fp).map_groups(head(1) after sort) — the canonical
+    hash-partition + per-group-first shape.
+    """
+
+    def add_fp(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["fp"] = fingerprint_batch(batch[text_col])
+        return batch
+
+    def first(group: pd.DataFrame) -> pd.DataFrame:
+        return group.sort_values(id_col).head(1)
+
+    return (
+        ds.map_batches(add_fp, batch_format="pandas")
+        .groupby("fp")
+        .map_groups(first, batch_format="pandas")
+    )
+
+
+# ---------- MinHash + LSH ----------
+
+
+class MinHashSignatures:
+    """Actor stage: text → (doc_id, band_key rows).  MinHasher state
+    (permutation coefficients) built once per actor."""
+
+    def __init__(self, num_perm: int = 64, num_bands: int = 16, shingle_k: int = 5,
+                 id_col: str = "doc_id", text_col: str = "text") -> None:
+        self.mh = MinHasher(num_perm=num_perm)
+        self.num_bands = num_bands
+        self.shingle_k = shingle_k
+        self.id_col = id_col
+        self.text_col = text_col
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        ids, bands = [], []
+        for i, t in zip(batch[self.id_col], batch[self.text_col]):
+            sig = self.mh.signature(char_shingles(t or "", self.shingle_k))
+            for bk in self.mh.bands(sig, self.num_bands):
+                ids.append(i)
+                bands.append(np.int64(bk - (1 << 63)))  # signed for arrow
+        return pd.DataFrame({"doc_id": ids, "band_key": bands})
+
+
+def minhash_lsh_candidates(ds: rd.Dataset, num_perm: int = 64, num_bands: int = 16,
+                           shingle_k: int = 5, concurrency: int = 2) -> rd.Dataset:
+    """→ candidate pair rows (a, b) with a < b, distinct."""
+    band_rows = ds.map_batches(
+        MinHashSignatures,
+        fn_constructor_kwargs=dict(num_perm=num_perm, num_bands=num_bands, shingle_k=shingle_k),
+        batch_format="pandas",
+        concurrency=concurrency,
+    )
+
+    def pairs(group: pd.DataFrame) -> pd.DataFrame:
+        ids = np.unique(group["doc_id"].to_numpy())
+        if len(ids) < 2:
+            return pd.DataFrame({"a": [], "b": []})
+        # cap pathological buckets (hot-key guard): a bucket of k docs
+        # emits k-1 star pairs to the min element — enough for
+        # connected components, O(k) not O(k^2)
+        ids.sort()
+        return pd.DataFrame({"a": np.full(len(ids) - 1, ids[0]), "b": ids[1:]})
+
+    from ray.data.aggregate import Count
+
+    cand = band_rows.groupby("band_key").map_groups(pairs, batch_format="pandas")
+    # distinct pairs (groupby needs >=1 agg; the count is dropped)
+    return cand.groupby(["a", "b"]).aggregate(Count(alias_name="_c")).select_columns(["a", "b"])
+
+
+def minhash_dedup_clusters(ds: rd.Dataset, threshold: float = 0.7, num_perm: int = 64,
+                           num_bands: int = 16, shingle_k: int = 5,
+                           id_col: str = "doc_id", text_col: str = "text",
+                           concurrency: int = 2) -> pd.DataFrame:
+    """Full near-dup pass → (doc_id, cluster_id=min id of its cluster).
+
+    Candidate pairs are Jaccard-verified against the broadcast shingle
+    sets of candidate docs only (the candidate set is tiny vs the
+    corpus), then clustered by union-find on the driver — valid while
+    candidates fit on the driver; the scale path iterates min-label
+    propagation as a groupby loop instead.
+    """
+    cand = minhash_lsh_candidates(ds, num_perm, num_bands, shingle_k, concurrency).to_pandas()
+    if len(cand) == 0:
+        ids = ds.select_columns([id_col]).to_pandas()[id_col]
+        return pd.DataFrame({id_col: ids, "cluster_id": ids})
+
+    cand_ids = set(cand["a"]) | set(cand["b"])
+    cand_ref = ray.put(cand_ids)
+
+    def shingles_of(batch: pd.DataFrame) -> pd.DataFrame:
+        want = ray.get(cand_ref)
+        sub = batch[batch[id_col].isin(want)]
+        return pd.DataFrame(
+            {
+                id_col: sub[id_col],
+                "sh": [char_shingles(t or "", shingle_k) for t in sub[text_col]],
+            }
+        )
+
+    sh = ds.map_batches(shingles_of, batch_format="pandas").to_pandas()
+    shmap = dict(zip(sh[id_col], sh["sh"]))
+
+    parent: dict = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b in zip(cand["a"], cand["b"]):
+        if jaccard(shmap.get(a, set()), shmap.get(b, set())) >= threshold:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+
+    ids = ds.select_columns([id_col]).to_pandas()[id_col]
+    return pd.DataFrame({id_col: ids, "cluster_id": [find(i) for i in ids]})
+
+
+# ---------- SimHash ----------
+
+
+class SimHashStage:
+    def __init__(self, id_col: str = "doc_id", text_col: str = "text") -> None:
+        self.id_col = id_col
+        self.text_col = text_col
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        sigs = []
+        for t in batch[self.text_col]:
+            toks = (t or "").lower().split()
+            sigs.append(simhash64([stable_hash64(w) for w in toks]))
+        return pd.DataFrame(
+            {
+                self.id_col: batch[self.id_col],
+                "simhash": [f"{s:016x}" for s in sigs],
+            }
+        )
+
+
+def simhash_signatures(ds: rd.Dataset, concurrency: int = 2) -> rd.Dataset:
+    return ds.map_batches(SimHashStage, batch_format="pandas", concurrency=concurrency)
+
+
+def simhash_near_dups(ds: rd.Dataset, max_hamming: int = 3, concurrency: int = 2) -> pd.DataFrame:
+    """Near-dup pairs by SimHash: 4×16-bit band blocking (pigeonhole:
+    any pair with Hamming ≤ 3 shares at least one of 4 bands), verify
+    Hamming on candidates."""
+    sig = simhash_signatures(ds, concurrency)
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        v = np.fromiter(
+            (int(h, 16) for h in batch["simhash"]), dtype=np.uint64, count=len(batch)
+        )
+        out = []
+        for b in range(4):
+            key = (v >> np.uint64(16 * b)) & np.uint64(0xFFFF)
+            out.append(pd.DataFrame({
+                "doc_id": batch["doc_id"].to_numpy(),
+                "band_key": key.astype(np.int64) * 4 + b,
+                "sim": v,
+            }))
+        return pd.concat(out, ignore_index=True)
+
+    def pairs(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.drop_duplicates("doc_id").sort_values("doc_id")
+        if len(g) < 2:
+            return pd.DataFrame({"a": [], "b": [], "hamming": []})
+        rows = []
+        ids = g["doc_id"].to_numpy()
+        sims = g["sim"].to_numpy()
+        for i in range(len(g)):
+            for j in range(i + 1, len(g)):
+                h = hamming64(int(sims[i]), int(sims[j]))
+                if h <= 3:
+                    rows.append((ids[i], ids[j], h))
+        return pd.DataFrame(rows, columns=["a", "b", "hamming"])
+
+    cand = sig.map_batches(explode, batch_format="pandas").groupby("band_key").map_groups(
+        pairs, batch_format="pandas"
+    )
+    out = cand.to_pandas()
+    if out.empty:  # all-empty groups lose the schema
+        return pd.DataFrame({"a": [], "b": [], "hamming": []})
+    out = out.drop_duplicates(["a", "b"]).reset_index(drop=True)
+    return out[out["hamming"] <= max_hamming]
+
+
+# ---------- n-gram Jaccard ----------
+
+
+def ngram_jaccard_pairs(ds: rd.Dataset, n: int = 3, threshold: float = 0.5,
+                        id_col: str = "doc_id", text_col: str = "text") -> pd.DataFrame:
+    """Near-dup pairs by word n-gram Jaccard; candidates blocked by
+    shared n-grams (explode → groupby(gram)) so only docs sharing at
+    least one n-gram are ever compared."""
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        ids, grams = [], []
+        for i, t in zip(batch[id_col], batch[text_col]):
+            for g in word_ngrams(t or "", n):
+                ids.append(i)
+                grams.append(np.int64(stable_hash64(g) - (1 << 63)))
+        return pd.DataFrame({"doc_id": ids, "gram": grams})
+
+    def star_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        ids = np.unique(group["doc_id"].to_numpy())
+        if len(ids) < 2:
+            return pd.DataFrame({"a": [], "b": []})
+        ids.sort()
+        return pd.DataFrame({"a": np.full(len(ids) - 1, ids[0]), "b": ids[1:]})
+
+    from ray.data.aggregate import Count
+
+    cand = (
+        ds.map_batches(explode, batch_format="pandas")
+        .groupby("gram")
+        .map_groups(star_pairs, batch_format="pandas")
+        .groupby(["a", "b"])
+        .aggregate(Count(alias_name="_c"))
+        .select_columns(["a", "b"])
+        .to_pandas()
+    )
+    if len(cand) == 0:
+        return pd.DataFrame({"a": [], "b": [], "jaccard": []})
+    need = set(cand["a"]) | set(cand["b"])
+    ref = ray.put(need)
+
+    def grams_of(batch: pd.DataFrame) -> pd.DataFrame:
+        sub = batch[batch[id_col].isin(ray.get(ref))]
+        return pd.DataFrame(
+            {id_col: sub[id_col], "g": [word_ngrams(t or "", n) for t in sub[text_col]]}
+        )
+
+    gm = ds.map_batches(grams_of, batch_format="pandas").to_pandas()
+    gmap = dict(zip(gm[id_col], gm["g"]))
+    jac = [jaccard(gmap.get(a, set()), gmap.get(b, set())) for a, b in zip(cand["a"], cand["b"])]
+    cand = cand.assign(jaccard=round_half_up(np.asarray(jac), 6))
+    return cand[cand["jaccard"] >= threshold].reset_index(drop=True)
+
+
+# ---------- embedding cosine ----------
+
+
+def cosine_near_dup_pairs(ds: rd.Dataset, threshold: float = 0.95,
+                          id_col: str = "vec_id", vec_col: str = "embedding") -> pd.DataFrame:
+    """All pairs (a<b) with cosine ≥ threshold.
+
+    Small/medium corpora: broadcast the full (normalized) matrix once,
+    per-batch matmul against it — each batch does a (B×d)·(d×N) GEMM.
+    The scale path is sign-LSH bucketing (cosine_lsh_buckets) to keep N
+    per bucket bounded.
+    """
+    full = ds.select_columns([id_col, vec_col]).to_pandas()
+    ids = full[id_col].to_numpy()
+    M = np.stack(full[vec_col].to_numpy()).astype(np.float64)
+    norms = np.linalg.norm(M, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    Mn = M / norms
+    mat_ref = ray.put((ids, Mn))
+
+    def batch_pairs(batch: pd.DataFrame) -> pd.DataFrame:
+        all_ids, Mn_ = ray.get(mat_ref)
+        bids = batch[id_col].to_numpy()
+        B = np.stack(batch[vec_col].to_numpy()).astype(np.float64)
+        bn = np.linalg.norm(B, axis=1, keepdims=True)
+        bn[bn == 0] = 1.0
+        S = (B / bn) @ Mn_.T
+        bi, gj = np.nonzero(S >= threshold)
+        a, b = bids[bi], all_ids[gj]
+        keep = a < b
+        return pd.DataFrame(
+            {"a": a[keep], "b": b[keep], "cosine": round_half_up(S[bi, gj][keep], 6)}
+        )
+
+    return (
+        ds.map_batches(batch_pairs, batch_format="pandas", batch_size=512)
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )

@@ -1,0 +1,160 @@
+"""Similarity search over an embedding column.
+
+The reference's retrieval is a ChromaDB top-k ANN probe
+(``/root/reference/src/core/store.py:79-99``, top-8 + figure-boost
+top-3 + exact-text dedup, ``orchestrator.py:98-135``).  Re-expressed:
+
+* brute-force cosine top-k — the exact baseline: broadcast the query
+  matrix once (``ray.put``), per-batch GEMM + per-batch partial top-k,
+  then a single tiny global merge (each batch forwards only k rows, so
+  the shuffle is k×#batches rows — never the corpus).
+* LSH-bucketed ANN — the scale path: random-hyperplane sign buckets;
+  only the query's bucket (and optional neighbor probes) is scanned.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray
+import ray.data as rd
+
+from ..functions.hashing import stable_hash64
+from ..functions.rounding import round_half_up
+
+
+def _as_matrix(series: pd.Series) -> np.ndarray:
+    return np.stack(series.to_numpy()).astype(np.float64)
+
+
+def _normalize(M: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(M, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return M / n
+
+
+def knn_bruteforce(ds: rd.Dataset, query_vec: np.ndarray, k: int = 10,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   exclude_ids: set | None = None) -> pd.DataFrame:
+    """Exact cosine top-k: per-batch score + partial top-k, global merge.
+
+    Returns (id_col, score) sorted by (score desc, id asc) — the
+    deterministic tie-break.
+    """
+    q = np.asarray(query_vec, dtype=np.float64)
+    q = q / (np.linalg.norm(q) or 1.0)
+    q_ref = ray.put(q)
+    excl = frozenset(exclude_ids or ())
+
+    def partial_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        qv = ray.get(q_ref)
+        sub = batch[~batch[id_col].isin(excl)] if excl else batch
+        if len(sub) == 0:
+            return pd.DataFrame({id_col: [], "score": []})
+        M = _normalize(_as_matrix(sub[vec_col]))
+        s = M @ qv
+        out = pd.DataFrame({id_col: sub[id_col].to_numpy(), "score": round_half_up(s, 6)})
+        return out.sort_values(["score", id_col], ascending=[False, True]).head(k)
+
+    partials = ds.map_batches(partial_topk, batch_format="pandas", batch_size=4096).to_pandas()
+    return (
+        partials.sort_values(["score", id_col], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )
+
+
+def knn_multi_query(ds: rd.Dataset, queries: np.ndarray, k: int = 10,
+                    id_col: str = "vec_id", vec_col: str = "embedding") -> pd.DataFrame:
+    """Batched top-k for Q query vectors at once (one GEMM per batch
+    against the broadcast query matrix).  → (query_idx, id, score)."""
+    Q = _normalize(np.asarray(queries, dtype=np.float64))
+    q_ref = ray.put(Q)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        Qm = ray.get(q_ref)
+        M = _normalize(_as_matrix(batch[vec_col]))
+        S = Qm @ M.T  # (Q, B)
+        ids = batch[id_col].to_numpy()
+        rows = []
+        kk = min(k, S.shape[1])
+        for qi in range(S.shape[0]):
+            idx = np.argpartition(-S[qi], kk - 1)[:kk]
+            rows.append(pd.DataFrame({
+                "query_idx": qi, id_col: ids[idx], "score": round_half_up(S[qi, idx], 6)
+            }))
+        return pd.concat(rows, ignore_index=True)
+
+    partials = ds.map_batches(partial, batch_format="pandas", batch_size=4096).to_pandas()
+    return (
+        partials.sort_values(["query_idx", "score", id_col], ascending=[True, False, True])
+        .groupby("query_idx", as_index=False)
+        .head(k)
+        .reset_index(drop=True)
+    )
+
+
+# ---------- LSH-bucketed ANN (scale path) ----------
+
+
+def _hyperplanes(dim: int, n_bits: int, seed: int = 11) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.normal(size=(n_bits, dim))
+
+
+def lsh_bucket_ids(M: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    bits = (M @ planes.T) > 0
+    return (bits @ (1 << np.arange(planes.shape[0]))).astype(np.int64)
+
+
+def build_lsh_index(ds: rd.Dataset, dim: int, n_bits: int = 8,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    seed: int = 11) -> rd.Dataset:
+    """Add a ``bucket`` column (sign-LSH).  At scale, write this
+    partitioned by bucket so a query reads one bucket's files only."""
+    planes = _hyperplanes(dim, n_bits, seed)
+    p_ref = ray.put(planes)
+
+    def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        P = ray.get(p_ref)
+        M = _normalize(_as_matrix(batch[vec_col]))
+        batch = batch.copy()
+        batch["bucket"] = lsh_bucket_ids(M, P)
+        return batch
+
+    return ds.map_batches(add_bucket, batch_format="pandas")
+
+
+def knn_lsh(ds: rd.Dataset, query_vec: np.ndarray, k: int = 10, n_bits: int = 8,
+            n_probes: int = 2, id_col: str = "vec_id", vec_col: str = "embedding",
+            seed: int = 11) -> pd.DataFrame:
+    """ANN: scan only the query's LSH bucket (+ Hamming-1 probes).
+
+    Approximate — recall depends on n_bits/n_probes; the exactness
+    oracle is knn_bruteforce.
+    """
+    q = np.asarray(query_vec, dtype=np.float64)
+    q = q / (np.linalg.norm(q) or 1.0)
+    dim = len(q)
+    planes = _hyperplanes(dim, n_bits, seed)
+    qb = int(lsh_bucket_ids(q[None, :], planes)[0])
+    probe = {qb}
+    for _ in range(n_probes):
+        probe |= {b ^ (1 << i) for b in list(probe) for i in range(n_bits)}
+
+    indexed = build_lsh_index(ds, dim, n_bits, id_col, vec_col, seed)
+    probe_arr = np.array(sorted(probe), dtype=np.int64)
+
+    def filt(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[batch["bucket"].isin(probe_arr)]
+
+    cand = indexed.map_batches(filt, batch_format="pandas")
+    return knn_bruteforce(cand, query_vec, k, id_col, vec_col)
+
+
+def retrieval_with_figure_boost(hits: pd.DataFrame, figure_hits: pd.DataFrame,
+                                text_col: str = "text") -> pd.DataFrame:
+    """Reference J2 (orchestrator.py:120-127): union of general top-k
+    and figure-only top-k, deduped by exact text, order preserved."""
+    merged = pd.concat([hits, figure_hits], ignore_index=True)
+    return merged.drop_duplicates(subset=[text_col], keep="first").reset_index(drop=True)

@@ -1,0 +1,87 @@
+"""Query-side pipeline — the reference's ``app.py query`` path
+(SURVEY.md §3.2) with deterministic stand-ins for the LLM stages.
+
+    retrieve (cosine top-k over the chunk embeddings, with the
+              figure-boost union + exact-text dedup J2)
+    → build context (M13 numbered 800-char blocks)
+    → "generate" (deterministic extractive answer: the top-scoring
+       retrieved chunk texts — no model weights exist in this
+       container; the stage boundary, record shapes and validation
+       flow match the reference RAGAnswer, models.py:168-211)
+    → Checkpoint B grounding validation (stages/validate.ground_answer)
+
+Retrieval needs no model (reference ``orchestrator.py:96-135``
+deliberately embeds with the embedder only) — here the query is
+embedded with the same HashingEmbedder the ingest side used.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import ray.data as rd
+
+from ..functions.llmtext import build_context
+from ..ops.similarity import knn_bruteforce, retrieval_with_figure_boost
+from ..stages.embed import HashingEmbedder
+from ..stages.validate import ground_answer
+
+TOP_K = 8
+FIGURE_TOP_K = 3
+
+
+def retrieve(chunks_with_embeddings: rd.Dataset, question: str,
+             top_k: int = TOP_K, figure_top_k: int = FIGURE_TOP_K,
+             dim: int = 384) -> pd.DataFrame:
+    """Top-k retrieval with the reference's figure boost + text dedup
+    (J2, orchestrator.py:120-127)."""
+    enc = HashingEmbedder(dim=dim, text_col="structured_text")
+    qv = enc._encode(question)
+
+    hits = knn_bruteforce(
+        chunks_with_embeddings, qv, k=top_k, id_col="chunk_id", vec_col="embedding"
+    )
+    visual = any(w in question.lower() for w in ("figure", "image", "chart", "diagram"))
+    if visual:
+        figs = chunks_with_embeddings.filter(lambda r: r["kind"] == "figure")
+        fig_hits = knn_bruteforce(
+            figs, qv, k=figure_top_k, id_col="chunk_id", vec_col="embedding"
+        )
+    else:
+        fig_hits = hits.head(0)
+
+    # join back chunk text for the merged hits (tiny driver-side lookup)
+    want = set(hits["chunk_id"]) | set(fig_hits["chunk_id"])
+    texts = (
+        chunks_with_embeddings.map_batches(
+            lambda b: b[b["chunk_id"].isin(want)][["chunk_id", "kind", "structured_text"]],
+            batch_format="pandas",
+        ).to_pandas()
+    )
+    hits = hits.merge(texts, on="chunk_id").rename(columns={"structured_text": "text"})
+    fig_hits = fig_hits.merge(texts, on="chunk_id").rename(columns={"structured_text": "text"})
+    return retrieval_with_figure_boost(hits, fig_hits, text_col="text")
+
+
+def answer_question(chunks_with_embeddings: rd.Dataset, question: str,
+                    top_k: int = TOP_K, dim: int = 384, validate: bool = True) -> dict:
+    """Full query flow → RAGAnswer-shaped dict."""
+    hits = retrieve(chunks_with_embeddings, question, top_k=top_k, dim=dim)
+    hit_dicts = hits.to_dict("records")
+    context = build_context(hit_dicts, text_key="text")
+    # deterministic extractive "generation": top chunks verbatim
+    answer = "\n".join((h["text"] or "")[:400] for h in hit_dicts[:3]).strip()
+    result = {
+        "question": question,
+        "answer": answer,
+        "reasoning_trace": context,
+        "source_chunks": [
+            {"chunk_id": h["chunk_id"], "kind": h["kind"], "score": float(h["score"])}
+            for h in hit_dicts
+        ],
+        "validation_summary": None,
+    }
+    if validate:
+        result["validation_summary"] = ground_answer(
+            answer, [h["text"] or "" for h in hit_dicts]
+        )
+    return result

@@ -1,0 +1,54 @@
+"""Embedding stage — actor-pool analogue of the reference's
+SentenceTransformer embedder (T6, ``/root/reference/src/core/store.py:32-54``:
+e5-small, 384-d, L2-normalized, batch_size 32).
+
+No model weights exist in this container, so the "model" is a
+deterministic feature-hashing encoder: tokens are hashed into a
+``dim``-bucket bag-of-words vector which is L2-normalized.  The
+*operator shape* is the real thing — weights "loaded" once per actor in
+``__init__``, batched vectorized ``__call__``, fixed-size float32
+vectors out — and the output feeds the cosine dedup / ANN operators
+exactly like real embeddings would.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+from ..functions.hashing import stable_hash64
+
+
+class HashingEmbedder:
+    """Callable-class stage: adds an ``embedding`` (list<float32>[dim])
+    column derived from ``text_col``."""
+
+    def __init__(self, dim: int = 384, text_col: str = "structured_text") -> None:
+        self.dim = dim
+        self.text_col = text_col
+        # "model load": the token→bucket hash is derived per call from
+        # stable_hash64; nothing mutable is shared between batches.
+
+    def _encode(self, text: str) -> np.ndarray:
+        v = np.zeros(self.dim, dtype=np.float32)
+        for tok in text.lower().split():
+            h = stable_hash64(tok)
+            v[h % self.dim] += 1.0 if (h >> 63) else -1.0
+        n = np.linalg.norm(v)
+        return v / n if n > 0 else v
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        batch["embedding"] = [self._encode(t or "") for t in batch[self.text_col]]
+        return batch
+
+
+def embed(ds: rd.Dataset, dim: int = 384, text_col: str = "structured_text",
+          concurrency: int = 2, batch_size: int = 256) -> rd.Dataset:
+    return ds.map_batches(
+        HashingEmbedder,
+        fn_constructor_kwargs={"dim": dim, "text_col": text_col},
+        batch_format="pandas",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

@@ -1,0 +1,151 @@
+"""Benchmark harness.
+
+Headline: end-to-end extraction throughput (synthesize interleaved
+corpus from the sf documents table → parse → reassemble →
+partition-manifest write), plus representative operator pipelines.
+Prints ONE JSON line:
+
+    {"metric": "...", "value": <headline sec>, "unit": "sec",
+     "queries": {...}, "sf": ..., "num_cpus": N, "docs_per_sec": ...}
+
+``--scaling``: runs the headline job in two fresh processes at
+num_cpus=8 and 32 on the same input and reports both throughputs plus
+scaling efficiency (the sandbox stand-in for the north rule's N vs 4N
+node clusters).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NCPU = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+REPEAT = int(os.environ.get("GRAFT_BENCH_REPEAT", "8"))
+
+
+def _corpus_ds(sf_dir: str, repeat: int):
+    """documents table → repeat× distinct doc_ids → streamed synth."""
+    import pyarrow as pa
+
+    from agentic_rag_for_multi_model_pdf_extraction_ray.sources.corpus import read_table
+    from agentic_rag_for_multi_model_pdf_extraction_ray.synth import synthesize_raw_doc
+    from agentic_rag_for_multi_model_pdf_extraction_ray.schema import DOCUMENTS_RAW_SCHEMA
+
+    def synth_rep(batch: pa.Table) -> pa.Table:
+        rows = []
+        for i, t in zip(batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()):
+            for r in range(repeat):
+                rows.append(synthesize_raw_doc(f"doc-{int(i):09d}-r{r:02d}", t or ""))
+        return pa.Table.from_pylist(rows, schema=DOCUMENTS_RAW_SCHEMA)
+
+    return read_table(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        synth_rep, batch_format="pyarrow", batch_size=32
+    )
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NCPU,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    import __ray_entry__ as entrymod
+    from agentic_rag_for_multi_model_pdf_extraction_ray.pipelines.extract import (
+        run_extraction,
+    )
+
+    # warm the page cache so we measure compute+shuffle, not cold disk
+    import pyarrow.parquet as pq
+
+    for t in ("documents", "lineitem", "orders", "events", "embeddings"):
+        pq.read_table(os.path.join(SF_DIR, f"{t}.parquet"))
+
+    out_dir = "/tmp/graft_bench_out"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    corpus = _corpus_ds(SF_DIR, REPEAT)
+
+    t0 = time.perf_counter()
+    manifests = run_extraction(corpus, out_dir, n_partitions=max(32, NCPU * 2),
+                               batch_size=32)
+    headline = time.perf_counter() - t0
+    n_docs = sum(m["num_docs"] for m in manifests)
+    n_spans = sum(m["num_spans"] for m in manifests)
+
+    qnames = [
+        "q1_pricing_summary", "q3_shipping", "q_order_lineitem_join",
+        "q_events_tumbling", "q_sessionize", "q_dedup_exact",
+        "q_minhash_clusters", "q_knn", "q_cosine_pairs", "q_token_stats",
+        "q_langid",
+    ]
+    queries = {}
+    qs = entrymod.queries()
+    for name in qnames:
+        t0 = time.perf_counter()
+        res = qs[name](SF_DIR)
+        # consume lazy datasets fully
+        import ray.data as rd
+
+        if isinstance(res, rd.Dataset):
+            res.to_pandas()
+        queries[name] = round(time.perf_counter() - t0, 3)
+
+    result = {
+        "metric": "end-to-end extraction seconds (synth+parse+reassemble+write), "
+                  f"{n_docs} docs / {n_spans} spans",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        "num_cpus": NCPU,
+        "docs": n_docs,
+        "spans": n_spans,
+        "docs_per_sec": round(n_docs / headline, 1),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = one(lo), one(hi)
+    tput_lo = r_lo["docs_per_sec"]
+    tput_hi = r_hi["docs_per_sec"]
+    eff = (tput_hi / tput_lo) / (hi / lo)
+    return {
+        "metric": "scaling efficiency of extraction throughput, num_cpus 8 -> 32",
+        "num_cpus_lo": lo, "num_cpus_hi": hi,
+        "sec_lo": r_lo["value"], "sec_hi": r_hi["value"],
+        "docs_per_sec_lo": tput_lo, "docs_per_sec_hi": tput_hi,
+        "scaling_efficiency": round(eff, 3),
+        "sf": SF_DIR,
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -1,0 +1,222 @@
+"""Operator-level unit tests: dedup family, similarity, windows, text
+kernels, hashing invariants, media plumbing, embedder determinism."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from agentic_rag_for_multi_model_pdf_extraction_ray.functions.hashing import (
+    MinHasher,
+    char_shingles,
+    hamming64,
+    jaccard,
+    simhash64,
+    stable_hash64,
+)
+from agentic_rag_for_multi_model_pdf_extraction_ray.functions.text import (
+    avg_token_len,
+    langid,
+    quality_ok,
+    token_count,
+)
+from agentic_rag_for_multi_model_pdf_extraction_ray.ops.dedup import (
+    cosine_near_dup_pairs,
+    exact_dedup,
+    minhash_dedup_clusters,
+    ngram_jaccard_pairs,
+    simhash_near_dups,
+)
+from agentic_rag_for_multi_model_pdf_extraction_ray.ops.similarity import (
+    knn_bruteforce,
+    knn_lsh,
+    retrieval_with_figure_boost,
+)
+from agentic_rag_for_multi_model_pdf_extraction_ray.ops.window import (
+    sessionize,
+    tumbling_window,
+)
+
+
+def _docs(rows):
+    return rd.from_pandas(pd.DataFrame(rows))
+
+
+def test_stable_hash_is_process_stable():
+    assert stable_hash64("abc") == 15617099051652453721  # frozen value
+
+
+def test_minhash_estimates_jaccard():
+    mh = MinHasher(num_perm=128)
+    a = char_shingles("the quick brown fox jumps over the lazy dog extended text here")
+    b = char_shingles("the quick brown fox jumps over the lazy cat extended text here")
+    est = (mh.signature(a) == mh.signature(b)).mean()
+    true = jaccard(a, b)
+    assert abs(est - true) < 0.15
+
+
+def test_simhash_similar_texts_close():
+    t1 = "word " * 50 + "alpha beta gamma"
+    t2 = "word " * 50 + "alpha beta delta"
+    s1 = simhash64([stable_hash64(w) for w in t1.split()])
+    s2 = simhash64([stable_hash64(w) for w in t2.split()])
+    s3 = simhash64([stable_hash64(w) for w in "completely different content entirely".split()])
+    assert hamming64(s1, s2) < hamming64(s1, s3)
+
+
+def test_exact_dedup_keeps_min_id():
+    ds = _docs([
+        {"doc_id": 3, "text": "same"},
+        {"doc_id": 1, "text": "same"},
+        {"doc_id": 2, "text": "other"},
+    ])
+    out = exact_dedup(ds).to_pandas().sort_values("doc_id")
+    assert sorted(out["doc_id"].tolist()) == [1, 2]
+
+
+def test_minhash_clusters_group_near_dups():
+    base = "the quick brown fox jumps over the lazy dog " * 5
+    rows = [
+        {"doc_id": 1, "text": base},
+        {"doc_id": 2, "text": base + "tail"},          # near-dup of 1
+        {"doc_id": 3, "text": "entirely unrelated content about ray data pipelines " * 5},
+    ]
+    out = minhash_dedup_clusters(_docs(rows), threshold=0.6)
+    m = dict(zip(out["doc_id"], out["cluster_id"]))
+    assert m[1] == m[2] == 1
+    assert m[3] == 3
+
+
+def test_simhash_near_dups_finds_pair():
+    # diverse vocabulary (simhash bit-sums far from zero) + one extra
+    # token → hamming <= 3 and at least one shared 16-bit band
+    base = " ".join(f"w{i} w{i}" for i in range(80))
+    rows = [
+        {"doc_id": 1, "text": base},
+        {"doc_id": 2, "text": base + " qq"},
+        {"doc_id": 3, "text": "nothing in common with those documents at all " * 6},
+    ]
+    pairs = simhash_near_dups(_docs(rows))
+    got = set(zip(pairs["a"], pairs["b"]))
+    assert (1, 2) in got
+    assert (1, 3) not in got and (2, 3) not in got
+
+
+def test_ngram_jaccard_pairs():
+    rows = [
+        {"doc_id": 1, "text": "a b c d e f g h"},
+        {"doc_id": 2, "text": "a b c d e f g x"},
+        {"doc_id": 3, "text": "q r s t u v w z"},
+    ]
+    pairs = ngram_jaccard_pairs(_docs(rows), n=3, threshold=0.3)
+    got = set(zip(pairs["a"], pairs["b"]))
+    assert got == {(1, 2)}
+
+
+def test_cosine_near_dup_pairs():
+    rows = [
+        {"vec_id": 1, "embedding": [1.0, 0.0, 0.0]},
+        {"vec_id": 2, "embedding": [0.99, 0.01, 0.0]},
+        {"vec_id": 3, "embedding": [0.0, 1.0, 0.0]},
+    ]
+    pairs = cosine_near_dup_pairs(_docs(rows), threshold=0.95)
+    assert set(zip(pairs["a"], pairs["b"])) == {(1, 2)}
+
+
+def test_knn_bruteforce_exact():
+    rng = np.random.RandomState(0)
+    M = rng.normal(size=(200, 16))
+    rows = [{"vec_id": i, "embedding": M[i].tolist()} for i in range(200)]
+    q = M[0]
+    out = knn_bruteforce(_docs(rows).repartition(5), q, k=5, exclude_ids={0})
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    s = Mn @ (q / np.linalg.norm(q))
+    s[0] = -np.inf
+    want = np.argsort(-s)[:5].tolist()
+    assert out["vec_id"].tolist() == want
+
+
+def test_knn_lsh_recall_reasonable():
+    rng = np.random.RandomState(1)
+    M = rng.normal(size=(300, 16))
+    rows = [{"vec_id": i, "embedding": M[i].tolist()} for i in range(300)]
+    q = M[7]
+    exact = set(knn_bruteforce(_docs(rows), q, k=10)["vec_id"])
+    approx = set(knn_lsh(_docs(rows), q, k=10, n_bits=4, n_probes=1)["vec_id"])
+    assert len(exact & approx) >= 5  # generous: ANN, not exact
+
+
+def test_retrieval_figure_boost_dedup():
+    hits = pd.DataFrame({"text": ["a", "b"], "score": [0.9, 0.8]})
+    figs = pd.DataFrame({"text": ["b", "c"], "score": [0.7, 0.6]})
+    out = retrieval_with_figure_boost(hits, figs)
+    assert out["text"].tolist() == ["a", "b", "c"]
+
+
+def test_tumbling_window():
+    ev = rd.from_pandas(pd.DataFrame({
+        "event_type": ["x", "x", "y"],
+        "ts": pd.to_datetime(["2024-01-01 10:05", "2024-01-01 10:55", "2024-01-01 11:05"]),
+        "value": [1.0, 2.0, 4.0],
+    }))
+    out = tumbling_window(ev).to_pandas().sort_values(["event_type", "window_start"])
+    assert out["n"].tolist() == [2, 1]
+    assert out["sum_value"].tolist() == [3.0, 4.0]
+    assert out["window_start"].tolist() == ["2024-01-01 10:00:00", "2024-01-01 11:00:00"]
+
+
+def test_sessionize_gap():
+    ev = rd.from_pandas(pd.DataFrame({
+        "user_id": [1, 1, 1, 2],
+        "event_id": [1, 2, 3, 4],
+        "ts": pd.to_datetime([
+            "2024-01-01 10:00", "2024-01-01 10:10",   # session 0
+            "2024-01-01 12:00",                          # session 1 (gap > 30min)
+            "2024-01-01 09:00",
+        ]),
+    }))
+    out = sessionize(ev).to_pandas().sort_values(["user_id", "session_idx"])
+    u1 = out[out["user_id"] == 1]
+    assert u1["session_idx"].tolist() == [0, 1]
+    assert u1["n_events"].tolist() == [2, 1]
+    assert len(out[out["user_id"] == 2]) == 1
+
+
+def test_text_kernels():
+    assert token_count("  a  b c ") == 3
+    assert token_count("") == 0
+    assert avg_token_len("ab cd") == 2.0
+    assert langid("the cat and the hat is the best") == "en"
+    assert langid("le chat et la maison est belle") == "fr"
+    assert langid("中文文档内容") == "zh"
+    assert langid("zzz qqq") == "und"
+    assert quality_ok("real words go here with reasonable length")
+    assert not quality_ok("x")
+
+
+def test_media_features_plumbing():
+    from agentic_rag_for_multi_model_pdf_extraction_ray.stages.media import (
+        extract_media_features,
+    )
+    from agentic_rag_for_multi_model_pdf_extraction_ray.synth import generate_corpus
+
+    corpus = generate_corpus(30, seed=3)
+    n_media = sum(len(m) for m in corpus.column("media").to_pylist())
+    out = extract_media_features(rd.from_arrow(corpus), concurrency=2).to_pandas()
+    assert len(out) == n_media
+    assert set(out.columns) == {"doc_id", "media_ref", "width", "height",
+                                "feature", "thumb_w", "thumb_h"}
+    # deterministic features
+    out2 = extract_media_features(rd.from_arrow(corpus), concurrency=2).to_pandas()
+    assert out.sort_values("media_ref")["feature"].tolist() == \
+        out2.sort_values("media_ref")["feature"].tolist()
+
+
+def test_embedder_deterministic_and_normalized():
+    from agentic_rag_for_multi_model_pdf_extraction_ray.stages.embed import embed
+
+    ds = _docs([{"structured_text": f"tok{i} alpha beta gamma", "i": i} for i in range(10)])
+    out = embed(ds, dim=32, concurrency=2).to_pandas()
+    M = np.stack(out["embedding"].to_numpy())
+    assert M.shape == (10, 32)
+    np.testing.assert_allclose(np.linalg.norm(M, axis=1), 1.0, rtol=1e-5)

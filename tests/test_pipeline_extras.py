@@ -1,0 +1,211 @@
+"""Tests: validation checkpoints, cross-links, LLM-text utils, config,
+step registry, sinks, query pipeline end-to-end."""
+
+import json
+import os
+
+import pandas as pd
+import ray.data as rd
+
+from agentic_rag_for_multi_model_pdf_extraction_ray.functions.llmtext import (
+    build_context,
+    safe_json,
+    safe_json_strip_think,
+    split_think,
+    with_retry,
+)
+from agentic_rag_for_multi_model_pdf_extraction_ray.ops.crosslink import (
+    attach_crosslinks,
+    detect_crosslinks,
+)
+from agentic_rag_for_multi_model_pdf_extraction_ray.stages.validate import (
+    ChunkValidator,
+    ground_answer,
+    validate_chunks,
+)
+from agentic_rag_for_multi_model_pdf_extraction_ray.state.config import Config, deep_merge
+
+
+def test_safe_json():
+    assert safe_json('noise {"a": 1, "b": [2]} trailing') == {"a": 1, "b": [2]}
+    assert safe_json("no json here") == {}
+    assert safe_json("{broken json") == {}
+    assert safe_json_strip_think('<think>{"x":9}</think>{"a":2}') == {"a": 2}
+
+
+def test_split_think():
+    reasoning, answer = split_think("<think>step 1</think>The answer is 42.")
+    assert reasoning == "step 1"
+    assert answer == "The answer is 42."
+    r2, a2 = split_think("plain answer")
+    assert r2 == "" and a2 == "plain answer"
+
+
+def test_build_context_truncates():
+    hits = [{"text": "x" * 2000, "meta": {"chunk_type": "table"}}, {"text": "short"}]
+    ctx = build_context(hits)
+    blocks = ctx.split("\n\n")
+    assert blocks[0].startswith("[1] (table) ")
+    assert len(blocks[0]) <= 800 + 20
+    assert blocks[1] == "[2] (text) short"
+
+
+def test_with_retry():
+    calls = []
+
+    def run(prompt):
+        calls.append(prompt)
+        return {"confidence": 0.3 if len(calls) == 1 else 0.9}
+
+    out = with_retry(run, "p")
+    assert out["confidence"] == 0.9
+    assert len(calls) == 2 and calls[1].startswith("p\n\n")
+
+    calls.clear()
+
+    def good(prompt):
+        calls.append(prompt)
+        return {"confidence": 0.8}
+
+    assert with_retry(good, "p")["confidence"] == 0.8
+    assert len(calls) == 1
+
+
+def test_chunk_validator_outcomes():
+    v = ChunkValidator()
+    batch = pd.DataFrame({
+        "kind": ["text", "table", "figure", "text"],
+        "structured_text": ["good long text", "no markup here", "", ""],
+        "confidence": [0.8, 0.8, 0.6, 0.9],
+    })
+    out = v(batch)
+    assert out["validation_outcome"].tolist() == [
+        "accepted", "corrected", "accepted", "discarded"
+    ]
+    assert out["verdict_score"].iloc[3] < 0.25
+
+
+def test_validate_chunks_filters_discarded():
+    ds = rd.from_pandas(pd.DataFrame({
+        "kind": ["text", "text"],
+        "structured_text": ["kept text content", ""],
+        "confidence": [0.8, 0.9],
+    }))
+    out = validate_chunks(ds).to_pandas()
+    assert len(out) == 1
+    assert out["structured_text"].iloc[0] == "kept text content"
+
+
+def test_ground_answer_catches_seeded_hallucination():
+    # mirrors the reference's seeded-hallucination E2E
+    # (tests/test_dspy_validator.py:33-212): "population of 10 million"
+    # absent from sources must be caught
+    sources = ["The city has a rich history.", "Its economy grew rapidly in 2020."]
+    bad = ground_answer("The city has a population of 10 million.", sources)
+    assert not bad["is_grounded"]
+    assert "population" in bad["hallucinations"]
+    good = ground_answer("The economy grew rapidly.", sources)
+    assert good["is_grounded"]
+    assert good["verdict_score"] == 1.0
+
+
+def test_crosslink_detect_and_attach():
+    chunks = rd.from_pandas(pd.DataFrame({
+        "chunk_id": ["a", "b", "c"],
+        "structured_text": [
+            "see figure 3 for details", "plain text", "the table shows growth"
+        ],
+    }))
+    links = detect_crosslinks(chunks).to_pandas()
+    assert set(links["source_chunk_id"]) == {"a", "c"}
+    assert (links["confidence"] == 0.8).all()  # wait, float32 compare
+    out = attach_crosslinks(chunks, links).to_pandas().set_index("chunk_id")
+    assert out.loc["a", "n_links"] >= 1
+    assert out.loc["b", "n_links"] == 0
+
+
+def test_config_deep_merge_and_dot_get(tmp_path):
+    p = tmp_path / "settings.json"
+    p.write_text(json.dumps({"stages": {"embed": {"dim": 128}}}))
+    cfg = Config(str(p), overrides={"retrieval": {"top_k": 4}})
+    assert cfg.get("stages.embed.dim") == 128
+    assert cfg.get("stages.embed.batch_size") == 256  # default preserved
+    assert cfg.get("retrieval.top_k") == 4
+    assert cfg.get("missing.path", "d") == "d"
+    assert deep_merge({"a": {"b": 1}}, {"a": {"c": 2}}) == {"a": {"b": 1, "c": 2}}
+
+
+def test_step_registry_composes():
+    from agentic_rag_for_multi_model_pdf_extraction_ray.pipelines.registry import (
+        StepRegistry,
+    )
+
+    def double(b: pd.DataFrame) -> pd.DataFrame:
+        b["x"] = b["x"] * 2
+        return b
+
+    def add(b: pd.DataFrame, k: int = 0) -> pd.DataFrame:
+        b["x"] = b["x"] + k
+        return b
+
+    reg = StepRegistry()
+    reg.register("double", double, batch_format="pandas")
+    reg.register("add3", add, batch_format="pandas", fn_kwargs={"k": 3})
+    ds = rd.from_pandas(pd.DataFrame({"x": [1, 2]}))
+    out = reg.build(ds).to_pandas()
+    assert out["x"].tolist() == [5, 7]
+
+
+def test_sinks_chunk_json_truncation(tmp_path):
+    from agentic_rag_for_multi_model_pdf_extraction_ray.sources.sinks import (
+        save_answer_json,
+        write_chunks_json,
+    )
+
+    ds = rd.from_pandas(pd.DataFrame({
+        "chunk_id": ["a", "b"],
+        "structured_text": ["x" * 600, "short"],
+    }))
+    out_dir = str(tmp_path / "chunks")
+    write_chunks_json(ds, out_dir)
+    rows = []
+    for fn in os.listdir(out_dir):
+        with open(os.path.join(out_dir, fn)) as f:
+            rows += [json.loads(line) for line in f if line.strip()]
+    by_id = {r["chunk_id"]: r for r in rows}
+    assert by_id["a"]["structured_text"].endswith("...")
+    assert len(by_id["a"]["structured_text"]) == 503
+    assert by_id["b"]["structured_text"] == "short"
+
+    ans_path = str(tmp_path / "answer.json")
+    save_answer_json({"answer": "a", "reasoning_trace": "r" * 2000}, ans_path)
+    with open(ans_path) as f:
+        saved = json.load(f)
+    assert saved["reasoning_trace"].endswith("...")
+
+
+def test_query_pipeline_end_to_end():
+    from agentic_rag_for_multi_model_pdf_extraction_ray.pipelines.query import (
+        answer_question,
+    )
+    from agentic_rag_for_multi_model_pdf_extraction_ray.stages.embed import embed
+
+    chunks = rd.from_pandas(pd.DataFrame({
+        "chunk_id": [f"c{i}" for i in range(6)],
+        "kind": ["text"] * 5 + ["figure"],
+        "structured_text": [
+            "ray data streaming execution with backpressure",
+            "arrow zero copy batches in the object store",
+            "actor pools for stateful model stages",
+            "groupby shuffle and repartition semantics",
+            "totally unrelated cooking recipe with onions",
+            "figure: throughput scaling chart",
+        ],
+    }))
+    with_vecs = embed(chunks, dim=64, concurrency=1)
+    ans = answer_question(with_vecs, "how does ray data streaming execution work", dim=64)
+    assert ans["answer"]
+    assert len(ans["source_chunks"]) >= 1
+    assert ans["validation_summary"] is not None
+    # extractive answer is fully grounded by construction
+    assert ans["validation_summary"]["is_grounded"]
