@@ -82,6 +82,66 @@ class PartitionedPayloadParser:
         return pa.Table.from_pydict(out, schema=_SPAN_PART_SCHEMA)
 
 
+_PACKED_SCHEMA = pa.schema(
+    [
+        pa.field("part", pa.int32()),
+        pa.field("doc_id", pa.string()),
+        pa.field("spans", pa.list_(SPAN_STRUCT)),
+    ]
+)
+
+
+class PackingPayloadParser:
+    """Parse + in-task reassembly: every span of a document is produced
+    by the same parse call (offsets are assigned within the per-doc
+    parse), so the ordered ``spans`` list can be packed IMMEDIATELY —
+    the downstream shuffle then moves one packed row per document
+    instead of one row per span (~6× fewer rows through the sort, same
+    bytes).  The span-row layout + ``groupby(doc_id)`` reassembly
+    remain available (stages/reassemble.py) for flows that genuinely
+    scatter spans across tasks (e.g. media re-join)."""
+
+    def __init__(self, n_partitions: int) -> None:
+        self.n_partitions = n_partitions
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        parts: list[int] = []
+        ids: list[str] = []
+        offsets: list[int] = [0]
+        kinds: list[str] = []
+        texts: list[str] = []
+        refs: list[int] = []
+        offs: list[int] = []
+        for doc_id, payload in zip(
+            batch.column("doc_id").to_pylist(), batch.column("payload").to_pylist()
+        ):
+            spans = parse_payload(payload)
+            if not spans:
+                continue
+            parts.append(stable_bucket(doc_id, self.n_partitions))
+            ids.append(doc_id)
+            for s in spans:
+                kinds.append(s.kind)
+                texts.append(s.text)
+                refs.append(s.media_ref)
+                offs.append(s.offset)
+            offsets.append(len(kinds))
+        struct = pa.StructArray.from_arrays(
+            [
+                pa.array(kinds, type=pa.string()),
+                pa.array(texts, type=pa.string()),
+                pa.array(refs, type=pa.string()),
+                pa.array(offs, type=pa.int32()),
+            ],
+            fields=list(SPAN_STRUCT),
+        )
+        spans_arr = pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()), struct)
+        return pa.Table.from_arrays(
+            [pa.array(parts, type=pa.int32()), pa.array(ids, type=pa.string()), spans_arr],
+            schema=_PACKED_SCHEMA,
+        )
+
+
 def pack_partition(group: pa.Table) -> pa.Table:
     """Vectorized reassembly of ALL docs in one partition.
 
@@ -109,18 +169,25 @@ def pack_partition(group: pa.Table) -> pa.Table:
 
 class PartitionWriter:
     """map_groups sink: reassemble one partition, write atomically,
-    emit its manifest row."""
+    emit its manifest row.  Accepts either span rows (packs them here)
+    or already-packed (doc_id, spans) rows from PackingPayloadParser."""
 
     def __init__(self, out_dir: str) -> None:
         self.out_dir = out_dir
 
     def __call__(self, group: pa.Table) -> pa.Table:
         part = int(group.column("part")[0].as_py())
-        packed = pack_partition(group.drop_columns(["part"]))
-        n_spans = int(group.num_rows)
-        text_bytes = int(
-            pc.sum(pc.binary_length(group.column("text"))).as_py() or 0
-        )
+        if "spans" in group.column_names:  # packed rows
+            packed = group.drop_columns(["part"]).sort_by("doc_id")
+            flat = packed.column("spans").combine_chunks().flatten()
+            n_spans = len(flat)
+            text_bytes = int(pc.sum(pc.binary_length(flat.field("text"))).as_py() or 0)
+        else:  # span rows
+            packed = pack_partition(group.drop_columns(["part"]))
+            n_spans = int(group.num_rows)
+            text_bytes = int(
+                pc.sum(pc.binary_length(group.column("text"))).as_py() or 0
+            )
         fingerprint = f"docs={packed.num_rows};spans={n_spans};text_bytes={text_bytes}"
         m = write_partition(self.out_dir, part, packed, fingerprint)
         return pa.Table.from_pylist(
@@ -194,12 +261,21 @@ def run_extraction(
     batch_size: int = 128,
     concurrency=None,
     bucketed: bool = False,
+    packed: bool = True,
 ) -> list[dict]:
     """Resumable end-to-end extraction; returns the manifest rows.
 
     Skips partitions whose manifests are already complete (the broadcast
     side is just the small ``done`` set, captured in the filter
     closure), parses the rest, reassembles + writes per partition.
+
+    ``packed=True`` (default) packs each document's ordered spans
+    inside the parse task (all spans of a doc are born in one call —
+    offsets never depend on block layout) so the partition shuffle
+    moves one row per document; ``packed=False`` keeps the exploded
+    span-row exchange (same output, more shuffle rows — the layout a
+    flow needs when other per-span stages sit between parse and
+    write).
     """
     done = completed_partitions(out_dir)
     if done:
@@ -212,17 +288,32 @@ def run_extraction(
 
         raw_ds = raw_ds.map_batches(drop_done, batch_format="pyarrow")
 
-    parse_c = concurrency if concurrency is not None else default_concurrency(0.5)
-    writer_c = max(1, parse_c // 2)
-    span_rows = parse_to_span_rows(raw_ds, n_partitions, batch_size, parse_c, bucketed)
-    manifests = (
-        span_rows.groupby("part")
-        .map_groups(
-            PartitionWriter,
-            fn_constructor_args=(out_dir,),
-            batch_format="pyarrow",
-            concurrency=writer_c,
+    # pool budget: parse (the heavy stage) ~60% of CPUs, writers ~25%,
+    # the remainder stays free for read tasks and the shuffle
+    parse_c = concurrency if concurrency is not None else default_concurrency(0.6)
+    writer_c = max(1, min(parse_c // 2, default_concurrency(0.25)))
+    if packed and not bucketed:
+        # stateless TASK parse: the parse state (compiled regexes) is
+        # trivial, and tasks share CPUs elastically with the read, the
+        # shuffle and the writers — an actor pool here would reserve
+        # slots a small session needs for those stages.  Stages with
+        # real state (classifiers, embedders) stay actor pools.
+        def parse_pack(batch: pa.Table, _n=n_partitions) -> pa.Table:
+            return PackingPayloadParser(_n)(batch)
+
+        rows = raw_ds.map_batches(
+            parse_pack, batch_format="pyarrow", batch_size=batch_size
         )
+    else:
+        rows = parse_to_span_rows(raw_ds, n_partitions, batch_size, parse_c, bucketed)
+    writer = PartitionWriter(out_dir)
+
+    def write_group(group: pa.Table) -> pa.Table:
+        return writer(group)
+
+    manifests = (
+        rows.groupby("part")
+        .map_groups(write_group, batch_format="pyarrow")
         .take_all()
     )
     return manifests

@@ -52,10 +52,11 @@ def test_corpus_has_interesting_shape(corpus):
     assert oracle_rows.num_rows > 200
 
 
-def test_pipeline_matches_oracle_span_for_span(corpus, tmp_path):
-    out_dir = str(tmp_path / "out")
+@pytest.mark.parametrize("packed", [True, False])
+def test_pipeline_matches_oracle_span_for_span(corpus, tmp_path, packed):
+    out_dir = str(tmp_path / f"out_{packed}")
     ds = rd.from_arrow(corpus).repartition(7)  # odd layout on purpose
-    manifests = run_extraction(ds, out_dir, n_partitions=8, batch_size=16)
+    manifests = run_extraction(ds, out_dir, n_partitions=8, batch_size=16, packed=packed)
     assert {m["part"] for m in manifests} == completed_partitions(out_dir)
 
     got = _spans_by_doc(read_output(out_dir))
