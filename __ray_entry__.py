@@ -592,6 +592,19 @@ def _q_knn_lsh(sf_dir: str):
     return knn_lsh(ds, q, k=10, n_bits=6, n_probes=1)
 
 
+def _q_classified_spans(sf_dir: str):
+    """Classifier actor pools (T1-T3 analogue) over extracted spans:
+    per-table inferred column-type schema + per-span layout class."""
+    from agentic_rag_for_multi_model_pdf_extraction_ray.stages.classify import (
+        classify_spans,
+    )
+
+    out = classify_spans(_span_rows_ds(sf_dir))
+    return out.select_columns(
+        ["doc_id", "offset", "kind", "layout_class", "table_schema"]
+    )
+
+
 def _q_media_features(sf_dir: str):
     from agentic_rag_for_multi_model_pdf_extraction_ray.stages.media import (
         extract_media_features,
@@ -636,6 +649,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_simhash": _q_simhash,
         "q_ngram_jaccard": _q_ngram_jaccard,
         "q_knn_lsh": _q_knn_lsh,
+        "q_classified_spans": _q_classified_spans,
         "q_media_features": _q_media_features,
     }
 

@@ -1,0 +1,158 @@
+"""CLI — the engine's ``app.py`` analogue (reference
+``/root/reference/app.py:571-592``: ingest / query / pipeline
+subcommands).
+
+    python -m agentic_rag_for_multi_model_pdf_extraction_ray ingest \
+        --input <documents_raw parquet dir> --out /tmp/out [--resume]
+    python -m agentic_rag_for_multi_model_pdf_extraction_ray synth \
+        --n-docs 1000 --out /tmp/corpus
+    python -m agentic_rag_for_multi_model_pdf_extraction_ray query \
+        --chunks <extraction out dir> "question text"
+    python -m agentic_rag_for_multi_model_pdf_extraction_ray pipeline \
+        --input <corpus> --out /tmp/out "question text"
+
+Owns its Ray session (the library never calls ray.init — driver
+contract)."""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _ray_session():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "32")),
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    return ray
+
+
+def cmd_synth(args) -> None:
+    import pyarrow.parquet as pq
+
+    from .synth import generate_corpus
+
+    table = generate_corpus(args.n_docs, seed=args.seed)
+    os.makedirs(args.out, exist_ok=True)
+    pq.write_table(table, os.path.join(args.out, "documents_raw.parquet"))
+    print(json.dumps({"docs": table.num_rows, "out": args.out}))
+
+
+def cmd_ingest(args) -> None:
+    ray = _ray_session()
+    import ray.data as rd
+
+    from .pipelines.extract import run_extraction
+    from .state.manifest import completed_partitions
+
+    if not args.resume:
+        import shutil
+
+        shutil.rmtree(args.out, ignore_errors=True)
+    ds = rd.read_parquet(args.input, columns=["doc_id", "payload"])
+    manifests = run_extraction(
+        ds, args.out, n_partitions=args.partitions, batch_size=args.batch_size
+    )
+    print(json.dumps({
+        "partitions_written": len(manifests),
+        "partitions_complete": len(completed_partitions(args.out)),
+        "docs": sum(m["num_docs"] for m in manifests),
+        "spans": sum(m["num_spans"] for m in manifests),
+    }))
+    ray.shutdown()
+
+
+def cmd_query(args) -> None:
+    ray = _ray_session()
+    import pyarrow as pa
+    import ray.data as rd
+
+    from .pipelines.query import answer_question
+    from .sources.sinks import save_answer_json
+    from .stages.chunk import transform_chunks
+    from .stages.embed import embed
+    from .stages.reassemble import explode_spans_batch
+    from .state.manifest import read_output
+
+    docs = read_output(args.chunks)
+    span_rows = explode_spans_batch(docs)
+    # page_num is not persisted in the packed layout; chunk transform
+    # tolerates its absence
+    chunks = transform_chunks(rd.from_arrow(span_rows), mode="direct")
+    with_vecs = embed(chunks, dim=args.dim, concurrency=2)
+    ans = answer_question(with_vecs, args.question, dim=args.dim,
+                          validate=not args.no_validate)
+    if args.save:
+        save_answer_json(ans, args.save)
+    print(json.dumps(ans, ensure_ascii=False)[:2000])
+    ray.shutdown()
+
+
+def cmd_pipeline(args) -> None:
+    ns = argparse.Namespace(
+        input=args.input, out=args.out, partitions=args.partitions,
+        batch_size=args.batch_size, resume=False,
+    )
+    cmd_ingest(ns)
+    ns2 = argparse.Namespace(
+        chunks=args.out, question=args.question, dim=args.dim,
+        no_validate=args.no_validate, save=args.save,
+    )
+    cmd_query(ns2)
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser(prog="agentic_rag_for_multi_model_pdf_extraction_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    ps = sub.add_parser("synth", help="generate a deterministic corpus")
+    ps.add_argument("--n-docs", type=int, default=1000)
+    ps.add_argument("--seed", type=int, default=42)
+    ps.add_argument("--out", required=True)
+    ps.set_defaults(fn=cmd_synth)
+
+    pi = sub.add_parser("ingest", help="extraction pipeline (resumable)")
+    pi.add_argument("--input", required=True)
+    pi.add_argument("--out", required=True)
+    pi.add_argument("--partitions", type=int, default=64)
+    pi.add_argument("--batch-size", type=int, default=128)
+    pi.add_argument("--resume", action="store_true")
+    pi.set_defaults(fn=cmd_ingest)
+
+    pq_ = sub.add_parser("query", help="retrieve + answer over extracted chunks")
+    pq_.add_argument("question")
+    pq_.add_argument("--chunks", required=True)
+    pq_.add_argument("--dim", type=int, default=384)
+    pq_.add_argument("--no-validate", action="store_true")
+    pq_.add_argument("--save", default=None)
+    pq_.set_defaults(fn=cmd_query)
+
+    pp = sub.add_parser("pipeline", help="ingest then query")
+    pp.add_argument("question")
+    pp.add_argument("--input", required=True)
+    pp.add_argument("--out", required=True)
+    pp.add_argument("--partitions", type=int, default=64)
+    pp.add_argument("--batch-size", type=int, default=128)
+    pp.add_argument("--dim", type=int, default=384)
+    pp.add_argument("--no-validate", action="store_true")
+    pp.add_argument("--save", default=None)
+    pp.set_defaults(fn=cmd_pipeline)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

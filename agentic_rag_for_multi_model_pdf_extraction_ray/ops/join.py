@@ -34,16 +34,12 @@ def broadcast_merge(
         small = small[list(dict.fromkeys(columns + [right_on]))]
     ref = ray.put(small)
 
-    class Merge:
-        def __init__(self) -> None:
-            self.small = ray.get(ref)  # zero-copy read per actor
+    def merge(batch: pd.DataFrame) -> pd.DataFrame:
+        # ray.get on an owned object is a local object-store read; the
+        # small side is shipped to each node once, not per batch
+        return batch.merge(ray.get(ref), left_on=left_on, right_on=right_on, how=how)
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            return batch.merge(
-                self.small, left_on=left_on, right_on=right_on, how=how
-            )
-
-    return ds.map_batches(Merge, batch_format="pandas", concurrency=2)
+    return ds.map_batches(merge, batch_format="pandas")
 
 
 def broadcast_semi_join(ds: rd.Dataset, keys, on: str, anti: bool = False) -> rd.Dataset:
