@@ -35,15 +35,42 @@ def md5_hex_batch(texts) -> np.ndarray:
     return np.array([hashlib.md5(t.encode("utf-8")).hexdigest() for t in texts], dtype=object)
 
 
+_SHINGLE_BASE = np.uint64(1099511628211)  # FNV-64 prime
+
+
+def _mix64(h: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer, vectorized uint64 (wraparound arithmetic)."""
+    with np.errstate(over="ignore"):
+        h = h.copy()
+        h ^= h >> np.uint64(30)
+        h *= np.uint64(0xBF58476D1CE4E5B9)
+        h ^= h >> np.uint64(27)
+        h *= np.uint64(0x94D049BB133111EB)
+        h ^= h >> np.uint64(31)
+    return h
+
+
 def char_shingles(text: str, k: int = 5) -> set[int]:
-    """Set of 64-bit hashes of the k-char shingles of ``text``."""
+    """Set of 64-bit hashes of the k-byte shingles of normalized text.
+
+    Vectorized: one numpy rolling polynomial hash + splitmix64 mix per
+    document (no per-shingle digest calls) — deterministic across
+    workers/processes.
+    """
     t = " ".join(text.split()).lower()
-    if len(t) < k:
-        return {stable_hash64(t)} if t else set()
-    out = set()
-    for i in range(len(t) - k + 1):
-        out.add(stable_hash64(t[i : i + k]))
-    return out
+    if not t:
+        return set()
+    b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+    if len(b) < k:
+        return {stable_hash64(t)}
+    with np.errstate(over="ignore"):
+        weights = np.empty(k, dtype=np.uint64)
+        weights[0] = 1
+        for i in range(1, k):
+            weights[i] = weights[i - 1] * _SHINGLE_BASE  # wraps mod 2^64
+        windows = np.lib.stride_tricks.sliding_window_view(b, k)
+        h = _mix64((windows * weights[None, ::-1]).sum(axis=1, dtype=np.uint64))
+    return set(h.tolist())
 
 
 def word_ngrams(text: str, n: int = 3) -> set[str]:
@@ -56,44 +83,74 @@ def word_ngrams(text: str, n: int = 3) -> set[str]:
 class MinHasher:
     """num_perm-permutation MinHash over 64-bit shingle hashes.
 
-    Universal-hash family h_i(x) = (a_i * x + b_i) mod p (p = 2^61-1),
-    seeded — identical signatures on every worker.  Vectorized: one
-    ``(num_perm, n_shingles)`` numpy op per document.
+    Permutation family h_i(x) = mix(a_i·x + b_i) in uint64 wraparound
+    arithmetic (multiply–shift–xor; division-free — uint64 ``%`` is an
+    integer divide and dominates at batch scale), seeded — identical
+    signatures on every worker.  Vectorized: one
+    ``(num_perm, n_shingles)`` numpy pass per chunk.
     """
 
     def __init__(self, num_perm: int = 64, seed: int = 7):
         rng = np.random.RandomState(seed)
         self.num_perm = num_perm
-        self.a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.int64).astype(np.uint64)
-        self.b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.int64).astype(np.uint64)
+        # odd multipliers → bijective multiply mod 2^64
+        self.a = (rng.randint(0, 2**62, size=num_perm, dtype=np.int64).astype(np.uint64)
+                  << np.uint64(1)) | np.uint64(1)
+        self.b = rng.randint(0, 2**62, size=num_perm, dtype=np.int64).astype(np.uint64)
+
+    def _hash_matrix(self, x: np.ndarray) -> np.ndarray:
+        """(num_perm, len(x)) permuted values, uint64 wraparound."""
+        with np.errstate(over="ignore"):
+            v = self.a[:, None] * x[None, :]
+            v += self.b[:, None]
+            v ^= v >> np.uint64(29)
+            v *= np.uint64(0xFF51AFD7ED558CCD)
+            v ^= v >> np.uint64(32)
+        return v
 
     def signature(self, shingle_hashes: set[int]) -> np.ndarray:
         if not shingle_hashes:
             return np.zeros(self.num_perm, dtype=np.uint64)
         x = np.fromiter(shingle_hashes, dtype=np.uint64)
-        # (a*x + b) mod p, computed in python-int-free uint64 with a
-        # 128-bit-safe split: do it in object-free float-free manner via
-        # modular arithmetic on uint64 (p < 2^61 so a*x can overflow;
-        # use modmul via splitting x into hi/lo 32-bit halves).
-        lo = x & np.uint64(0xFFFFFFFF)
-        hi = x >> np.uint64(32)
-        p = np.uint64(_MERSENNE)
-        # a*x mod p = (a*hi mod p * 2^32 mod p + a*lo mod p) mod p
-        a = self.a[:, None]
-        ah = (a * hi[None, :]) % p
-        ah = (ah << np.uint64(32)) % p
-        al = (a * lo[None, :]) % p
-        v = (ah + al + self.b[:, None]) % p
-        return v.min(axis=1)
+        return self._hash_matrix(x).min(axis=1)
+
+    def signatures_concat(self, all_hashes: np.ndarray, starts: np.ndarray) -> np.ndarray:
+        """Signatures for MANY docs at once: ``all_hashes`` is the
+        concatenation of every doc's shingle hashes, ``starts`` the
+        per-doc start offsets.  One hash matrix +
+        ``np.minimum.reduceat`` → (n_docs, num_perm).  Empty docs must
+        be filtered by the caller."""
+        v = self._hash_matrix(all_hashes)
+        return np.minimum.reduceat(v, starts, axis=1).T
+
+    def band_keys_matrix(self, sigs: np.ndarray, num_bands: int) -> np.ndarray:
+        """Band keys for a (n_docs, num_perm) signature matrix →
+        (n_docs, num_bands) uint64."""
+        rows = self.num_perm // num_bands
+        with np.errstate(over="ignore"):
+            chunks = sigs[:, : num_bands * rows].reshape(len(sigs), num_bands, rows)
+            weights = np.empty(rows, dtype=np.uint64)
+            weights[0] = 1
+            for i in range(1, rows):
+                weights[i] = weights[i - 1] * _SHINGLE_BASE
+            combined = (chunks * weights[None, None, :]).sum(axis=2, dtype=np.uint64)
+            combined += (np.arange(num_bands, dtype=np.uint64)
+                         * np.uint64(0x9E3779B97F4A7C15))[None, :]
+        return _mix64(combined)
 
     def bands(self, sig: np.ndarray, num_bands: int) -> list[int]:
-        """LSH band keys: 64-bit hash per band of the signature."""
+        """LSH band keys: mixed polynomial combine per band (vectorized,
+        no string building)."""
         rows = self.num_perm // num_bands
-        keys = []
-        for b in range(num_bands):
-            chunk = sig[b * rows : (b + 1) * rows]
-            keys.append(stable_hash64(f"{b}:" + ",".join(map(str, chunk.tolist()))))
-        return keys
+        with np.errstate(over="ignore"):
+            chunks = sig[: num_bands * rows].reshape(num_bands, rows)
+            weights = np.empty(rows, dtype=np.uint64)
+            weights[0] = 1
+            for i in range(1, rows):
+                weights[i] = weights[i - 1] * _SHINGLE_BASE
+            combined = (chunks * weights[None, :]).sum(axis=1, dtype=np.uint64)
+            combined += np.arange(num_bands, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        return _mix64(combined).tolist()
 
 
 def simhash64(token_hashes: "list[int] | np.ndarray", weights=None) -> int:

@@ -100,13 +100,40 @@ class MinHashSignatures:
         self.text_col = text_col
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        ids, bands = [], []
-        for i, t in zip(batch[self.id_col], batch[self.text_col]):
-            sig = self.mh.signature(char_shingles(t or "", self.shingle_k))
-            for bk in self.mh.bands(sig, self.num_bands):
-                ids.append(i)
-                bands.append(np.int64(bk - (1 << 63)))  # signed for arrow
-        return pd.DataFrame({"doc_id": ids, "band_key": bands})
+        # fully vectorized over the batch: concat every doc's shingle
+        # hashes, one modular-hash matrix + minimum.reduceat, then a
+        # (docs × bands) key matrix — no per-doc numpy calls
+        per_doc = [
+            np.fromiter(char_shingles(t or "", self.shingle_k), dtype=np.uint64)
+            for t in batch[self.text_col]
+        ]
+        nonempty = [i for i, a in enumerate(per_doc) if len(a)]
+        if not nonempty:
+            return pd.DataFrame({"doc_id": [], "band_key": []})
+        arrs = [per_doc[i] for i in nonempty]
+        lens = np.array([len(a) for a in arrs])
+        # chunk so each (num_perm × shingles) temp stays L2-resident —
+        # measured faster than both per-doc calls and giant matrices
+        max_shingles = 4096
+        sig_chunks = []
+        i = 0
+        while i < len(arrs):
+            j, tot = i, 0
+            while j < len(arrs) and (tot == 0 or tot + lens[j] <= max_shingles):
+                tot += lens[j]
+                j += 1
+            chunk = arrs[i:j]
+            cl = lens[i:j]
+            starts = np.concatenate([[0], np.cumsum(cl)[:-1]])
+            sig_chunks.append(self.mh.signatures_concat(np.concatenate(chunk), starts))
+            i = j
+        sigs = np.concatenate(sig_chunks, axis=0)
+        keys = self.mh.band_keys_matrix(sigs, self.num_bands)  # (D, B)
+        ids = batch[self.id_col].to_numpy()[nonempty]
+        return pd.DataFrame({
+            "doc_id": np.repeat(ids, self.num_bands),
+            "band_key": keys.reshape(-1).view(np.int64),  # two's-complement view
+        })
 
 
 def minhash_lsh_candidates(ds: rd.Dataset, num_perm: int = 64, num_bands: int = 16,
@@ -119,19 +146,34 @@ def minhash_lsh_candidates(ds: rd.Dataset, num_perm: int = 64, num_bands: int = 
         concurrency=concurrency,
     )
 
-    def pairs(group: pd.DataFrame) -> pd.DataFrame:
-        ids = np.unique(group["doc_id"].to_numpy())
-        if len(ids) < 2:
-            return pd.DataFrame({"a": [], "b": []})
-        # cap pathological buckets (hot-key guard): a bucket of k docs
-        # emits k-1 star pairs to the min element — enough for
-        # connected components, O(k) not O(k^2)
-        ids.sort()
-        return pd.DataFrame({"a": np.full(len(ids) - 1, ids[0]), "b": ids[1:]})
+    def add_super_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        # group by a coarse super-bucket (bounded group count), then
+        # vectorize over the real band keys inside each group — a
+        # map_groups call per raw band key (~16×docs groups) would be
+        # dominated by per-group invocation overhead
+        batch = batch.copy()
+        batch["gk"] = batch["band_key"] % 4096
+        return batch
+
+    def star_pairs_vec(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.drop_duplicates(["band_key", "doc_id"]).sort_values(
+            ["band_key", "doc_id"]
+        )
+        # star pairs per band bucket: (min doc, other) — O(k) per
+        # bucket, enough to connect components
+        first = g.groupby("band_key")["doc_id"].transform("first")
+        mask = (g["doc_id"] != first).to_numpy()
+        return pd.DataFrame(
+            {"a": first.to_numpy()[mask], "b": g["doc_id"].to_numpy()[mask]}
+        )
 
     from ray.data.aggregate import Count
 
-    cand = band_rows.groupby("band_key").map_groups(pairs, batch_format="pandas")
+    cand = (
+        band_rows.map_batches(add_super_bucket, batch_format="pandas")
+        .groupby("gk")
+        .map_groups(star_pairs_vec, batch_format="pandas")
+    )
     # distinct pairs (groupby needs >=1 agg; the count is dropped)
     return cand.groupby(["a", "b"]).aggregate(Count(alias_name="_c")).select_columns(["a", "b"])
 
@@ -234,21 +276,30 @@ def simhash_near_dups(ds: rd.Dataset, max_hamming: int = 3, concurrency: int = 2
         return pd.concat(out, ignore_index=True)
 
     def pairs(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.drop_duplicates("doc_id").sort_values("doc_id")
-        if len(g) < 2:
-            return pd.DataFrame({"a": [], "b": [], "hamming": []})
         rows = []
-        ids = g["doc_id"].to_numpy()
-        sims = g["sim"].to_numpy()
-        for i in range(len(g)):
-            for j in range(i + 1, len(g)):
-                h = hamming64(int(sims[i]), int(sims[j]))
-                if h <= 3:
-                    rows.append((ids[i], ids[j], h))
+        for _, g in group.groupby("band_key"):
+            g = g.drop_duplicates("doc_id").sort_values("doc_id")
+            if len(g) < 2:
+                continue
+            ids = g["doc_id"].to_numpy()
+            sims = g["sim"].to_numpy()
+            for i in range(len(g)):
+                for j in range(i + 1, len(g)):
+                    h = hamming64(int(sims[i]), int(sims[j]))
+                    if h <= 3:
+                        rows.append((ids[i], ids[j], h))
         return pd.DataFrame(rows, columns=["a", "b", "hamming"])
 
-    cand = sig.map_batches(explode, batch_format="pandas").groupby("band_key").map_groups(
-        pairs, batch_format="pandas"
+    def add_super_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["gk"] = batch["band_key"] % 1024  # bounded group count
+        return batch
+
+    cand = (
+        sig.map_batches(explode, batch_format="pandas")
+        .map_batches(add_super_bucket, batch_format="pandas")
+        .groupby("gk")
+        .map_groups(pairs, batch_format="pandas")
     )
     out = cand.to_pandas()
     if out.empty:  # all-empty groups lose the schema
@@ -274,19 +325,26 @@ def ngram_jaccard_pairs(ds: rd.Dataset, n: int = 3, threshold: float = 0.5,
                 grams.append(np.int64(stable_hash64(g) - (1 << 63)))
         return pd.DataFrame({"doc_id": ids, "gram": grams})
 
-    def star_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        ids = np.unique(group["doc_id"].to_numpy())
-        if len(ids) < 2:
-            return pd.DataFrame({"a": [], "b": []})
-        ids.sort()
-        return pd.DataFrame({"a": np.full(len(ids) - 1, ids[0]), "b": ids[1:]})
+    def add_super_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["gk"] = batch["gram"] % 4096
+        return batch
+
+    def star_pairs_vec(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.drop_duplicates(["gram", "doc_id"]).sort_values(["gram", "doc_id"])
+        first = g.groupby("gram")["doc_id"].transform("first")
+        mask = (g["doc_id"] != first).to_numpy()
+        return pd.DataFrame(
+            {"a": first.to_numpy()[mask], "b": g["doc_id"].to_numpy()[mask]}
+        )
 
     from ray.data.aggregate import Count
 
     cand = (
         ds.map_batches(explode, batch_format="pandas")
-        .groupby("gram")
-        .map_groups(star_pairs, batch_format="pandas")
+        .map_batches(add_super_bucket, batch_format="pandas")
+        .groupby("gk")
+        .map_groups(star_pairs_vec, batch_format="pandas")
         .groupby(["a", "b"])
         .aggregate(Count(alias_name="_c"))
         .select_columns(["a", "b"])
