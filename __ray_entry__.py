@@ -592,6 +592,26 @@ def _q_knn_lsh(sf_dir: str):
     return knn_lsh(ds, q, k=10, n_bits=6, n_probes=1)
 
 
+def _q_validated_chunks(sf_dir: str):
+    """Checkpoint A over extracted chunks + A2 outcome counters
+    (reference pipeline.py:255-319 accept/correct/discard loop)."""
+    from ray.data.aggregate import Count
+
+    from agentic_rag_for_multi_model_pdf_extraction_ray.stages.chunk import (
+        transform_chunks,
+    )
+    from agentic_rag_for_multi_model_pdf_extraction_ray.stages.validate import (
+        ChunkValidator,
+    )
+
+    chunks = transform_chunks(_span_rows_ds(sf_dir), mode="typed")
+    judged = chunks.map_batches(
+        ChunkValidator, fn_constructor_args=(0.25,), batch_format="pandas",
+        concurrency=2,
+    )
+    return judged.groupby("validation_outcome").aggregate(Count(alias_name="n"))
+
+
 def _q_classified_spans(sf_dir: str):
     """Classifier actor pools (T1-T3 analogue) over extracted spans:
     per-table inferred column-type schema + per-span layout class."""
@@ -649,6 +669,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_simhash": _q_simhash,
         "q_ngram_jaccard": _q_ngram_jaccard,
         "q_knn_lsh": _q_knn_lsh,
+        "q_validated_chunks": _q_validated_chunks,
         "q_classified_spans": _q_classified_spans,
         "q_media_features": _q_media_features,
     }

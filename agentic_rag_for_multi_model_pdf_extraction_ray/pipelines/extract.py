@@ -30,6 +30,8 @@ Design decisions for 100 TB scale:
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -311,9 +313,36 @@ def run_extraction(
     def write_group(group: pa.Table) -> pa.Table:
         return writer(group)
 
+    import json
+    import time as _time
+
+    t0 = _time.perf_counter()
     manifests = (
         rows.groupby("part")
         .map_groups(write_group, batch_format="pyarrow")
         .take_all()
     )
+    # run-level metrics next to the partition manifests (the north
+    # rule's "per-partition lineage + metrics"); the reference's
+    # Langfuse tracing (T8) maps to this + Ray's per-operator stats
+    wall = _time.perf_counter() - t0
+    n_docs = sum(m["num_docs"] for m in manifests)
+    try:
+        with open(os.path.join(out_dir, "_RUN_METRICS.json"), "w") as f:
+            json.dump(
+                {
+                    "wall_sec": round(wall, 3),
+                    "partitions_written": len(manifests),
+                    "partitions_skipped_resume": len(done),
+                    "num_docs": n_docs,
+                    "num_spans": sum(m["num_spans"] for m in manifests),
+                    "docs_per_sec": round(n_docs / wall, 1) if wall > 0 else None,
+                    "n_partitions": n_partitions,
+                    "batch_size": batch_size,
+                    "packed": packed,
+                },
+                f,
+            )
+    except OSError:
+        pass  # metrics are best-effort; the data write already succeeded
     return manifests
