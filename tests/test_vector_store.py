@@ -1,0 +1,48 @@
+"""Vector store: idempotent upsert + top-k query (+kind filter)."""
+
+import pandas as pd
+import ray.data as rd
+
+from agentic_rag_for_multi_model_pdf_extraction_ray.pipelines.vector_store import (
+    query_store,
+    upsert_chunks,
+)
+from agentic_rag_for_multi_model_pdf_extraction_ray.state.manifest import read_output
+
+
+def _chunks():
+    return rd.from_pandas(pd.DataFrame({
+        "chunk_id": [f"c{i}" for i in range(8)],
+        "kind": ["text"] * 6 + ["figure"] * 2,
+        "structured_text": [
+            "ray data dataset streaming", "arrow zero copy blocks",
+            "actor pool stateful stage", "groupby shuffle partition",
+            "parquet manifest resume", "cosine similarity search",
+            "figure: scaling chart", "figure: architecture diagram",
+        ],
+    }))
+
+
+def test_upsert_and_query(tmp_path):
+    store = str(tmp_path / "store")
+    manifests = upsert_chunks(_chunks(), store, dim=64, n_partitions=4,
+                              concurrency=1)
+    assert sum(m["rows"] for m in manifests) == 8
+
+    hits = query_store(store, "streaming dataset ray", top_k=3, dim=64)
+    assert len(hits) == 3
+    assert "c0" in set(hits["chunk_id"])
+
+    fig_hits = query_store(store, "architecture diagram", top_k=2, dim=64,
+                           kind="figure")
+    assert set(fig_hits["chunk_id"]) <= {"c6", "c7"}
+
+
+def test_upsert_is_idempotent(tmp_path):
+    store = str(tmp_path / "store2")
+    upsert_chunks(_chunks(), store, dim=64, n_partitions=4, concurrency=1)
+    first = read_output(store).sort_by("chunk_id")
+    upsert_chunks(_chunks(), store, dim=64, n_partitions=4, concurrency=1)
+    second = read_output(store).sort_by("chunk_id")
+    assert first.num_rows == second.num_rows == 8
+    assert first.column("chunk_id").equals(second.column("chunk_id"))
