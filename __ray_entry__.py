@@ -473,6 +473,43 @@ def _q_embed_label_norms(sf_dir: str):
     return agg[["label", "n", "avg_norm"]]
 
 
+def _q_sample_deterministic(sf_dir: str):
+    """Hash-based Bernoulli sample (reproducible across engines)."""
+    from agentic_rag_for_multi_model_pdf_extraction_ray.ops.sample import (
+        bernoulli_sample,
+    )
+    from agentic_rag_for_multi_model_pdf_extraction_ray.sources.corpus import read_table
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    return bernoulli_sample(docs, key_col="doc_id", rate=0.2)
+
+
+def _q_stratified_sample(sf_dir: str):
+    from agentic_rag_for_multi_model_pdf_extraction_ray.ops.sample import (
+        stratified_head,
+    )
+    from agentic_rag_for_multi_model_pdf_extraction_ray.sources.corpus import read_table
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "lang"])
+    return stratified_head(docs, group_col="lang", order_col="doc_id", n=5)
+
+
+def _q_event_median(sf_dir: str):
+    from agentic_rag_for_multi_model_pdf_extraction_ray.ops.sample import grouped_median
+    from agentic_rag_for_multi_model_pdf_extraction_ray.sources.corpus import read_table
+
+    ev = read_table(sf_dir, "events", columns=["event_type", "value"])
+    return grouped_median(ev, "event_type", "value", alias="median_value")
+
+
+def _q_top_tokens(sf_dir: str):
+    from agentic_rag_for_multi_model_pdf_extraction_ray.ops.sample import top_tokens
+    from agentic_rag_for_multi_model_pdf_extraction_ray.sources.corpus import read_table
+
+    docs = read_table(sf_dir, "documents", columns=["text"])
+    return top_tokens(docs, "text", k=20)
+
+
 # ---- extraction-engine queries (non-SQL-expressible; rows-only) ----
 
 
@@ -658,6 +695,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_knn": _q_knn,
         "q_cosine_pairs": _q_cosine_pairs,
         "q_embed_label_norms": _q_embed_label_norms,
+        "q_sample_deterministic": _q_sample_deterministic,
+        "q_stratified_sample": _q_stratified_sample,
+        "q_event_median": _q_event_median,
+        "q_top_tokens": _q_top_tokens,
         # extraction engine (rows-only checks; pytest holds the strict gate)
         "q_extract_spans": _q_extract_spans,
         "q_extract_documents": _q_extract_documents,
@@ -850,6 +891,31 @@ def oracle_sql() -> dict[str, str]:
                          * 1000000 + 0.5) / 1000000 AS cosine
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+        """,
+        "q_sample_deterministic": """
+            SELECT doc_id, n_chars FROM documents
+            WHERE ((('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 1000000)
+                   / 1000000.0) < 0.2
+        """,
+        "q_stratified_sample": """
+            SELECT doc_id, lang FROM (
+              SELECT doc_id, lang,
+                     row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+              FROM documents
+            ) WHERE rn <= 5
+        """,
+        "q_event_median": """
+            SELECT event_type, median(value) AS median_value
+            FROM events GROUP BY event_type
+        """,
+        "q_top_tokens": """
+            WITH toks AS (
+              SELECT unnest(string_split_regex(trim(text), '\\s+')) AS token
+              FROM documents
+            )
+            SELECT token, count(*) AS n FROM toks
+            WHERE token != ''
+            GROUP BY token ORDER BY n DESC, token LIMIT 20
         """,
         "q_embed_label_norms": """
             SELECT label, count(*) AS n,

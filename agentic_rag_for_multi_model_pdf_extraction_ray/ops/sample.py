@@ -1,0 +1,92 @@
+"""Deterministic sampling + exact order statistics + heavy hitters.
+
+Training-data operators with exact cross-engine semantics (every one
+has a DuckDB oracle):
+
+* :func:`bernoulli_sample` — hash-based deterministic sampling: keep a
+  row iff ``(int(md5(key)[:8],16) % 10^6) / 10^6 < rate``.  Unlike
+  ``ds.random_sample`` this is reproducible across engines, runs and
+  partitionings (the property corpus sampling needs for lineage).
+* :func:`stratified_head` — first-N per group in a deterministic
+  order (SQL ``row_number() over (partition by g order by k)``).
+* :func:`grouped_median` — exact per-group median via in-group sort
+  (groups fit in memory by assumption; no sums → no float-order
+  issues).
+* :func:`top_tokens` — corpus heavy hitters: per-batch token counts
+  (pre-aggregation) → global merge → top-k with deterministic
+  tie-break (count desc, token asc).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+from ray.data.aggregate import Sum
+
+_MOD = 1_000_000
+
+
+def _hash_frac(keys: pd.Series) -> pd.Series:
+    return keys.map(
+        lambda k: (int(hashlib.md5(str(k).encode()).hexdigest()[:8], 16) % _MOD) / _MOD
+    )
+
+
+def bernoulli_sample(ds: rd.Dataset, key_col: str, rate: float) -> rd.Dataset:
+    """SQL mirror: ``WHERE (('0x'||substr(md5(key),1,8))::BIGINT % 1000000)
+    / 1000000.0 < rate``."""
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[_hash_frac(batch[key_col]) < rate]
+
+    return ds.map_batches(f, batch_format="pandas")
+
+
+def stratified_head(ds: rd.Dataset, group_col: str, order_col: str, n: int) -> rd.Dataset:
+    """First n rows per group ordered by ``order_col`` (deterministic)."""
+
+    def head(group: pd.DataFrame) -> pd.DataFrame:
+        return group.sort_values(order_col, kind="mergesort").head(n)
+
+    return ds.groupby(group_col).map_groups(head, batch_format="pandas")
+
+
+def grouped_median(ds: rd.Dataset, group_col: str, value_col: str,
+                   alias: str = "median") -> rd.Dataset:
+    """Exact per-group median (average of middle two for even counts —
+    DuckDB ``median`` semantics for numeric types)."""
+
+    def med(group: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            group_col: [group[group_col].iloc[0]],
+            alias: [float(np.median(group[value_col].to_numpy()))],
+        })
+
+    return ds.groupby(group_col).map_groups(med, batch_format="pandas")
+
+
+def top_tokens(ds: rd.Dataset, text_col: str, k: int = 20) -> pd.DataFrame:
+    """Top-k whitespace tokens by total count across the corpus.
+
+    Shape: per-batch explode + LOCAL count (the combiner — the shuffle
+    moves one row per distinct token per batch, never per occurrence)
+    → global groupby sum → driver-side top-k (k rows).
+    """
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch[text_col].fillna("").str.split()
+        exploded = toks.explode().dropna()
+        counts = exploded.value_counts()
+        return pd.DataFrame({"token": counts.index, "n": counts.to_numpy()})
+
+    totals = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("token")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    out = totals.sort_values(["n", "token"], ascending=[False, True]).head(k)
+    return out.reset_index(drop=True)
