@@ -19,7 +19,6 @@ from __future__ import annotations
 import argparse
 import json
 import os
-import sys
 
 
 def _ray_session():
@@ -76,7 +75,6 @@ def cmd_ingest(args) -> None:
 
 def cmd_query(args) -> None:
     ray = _ray_session()
-    import pyarrow as pa
     import ray.data as rd
 
     from .pipelines.query import answer_question

@@ -19,7 +19,6 @@ import pandas as pd
 import ray
 import ray.data as rd
 
-from ..functions.hashing import stable_hash64
 from ..functions.rounding import round_half_up
 
 

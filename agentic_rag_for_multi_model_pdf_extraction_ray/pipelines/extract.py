@@ -1,23 +1,22 @@
 """Flagship extraction pipeline (the reference's ``app.py ingest`` path,
 re-expressed Ray-Data-first — SURVEY.md §3.1, §7).
 
-    documents_raw ──map_batches(PayloadParser actor pool)──▶ span rows
-        (offset computed per-document inside the parse; a ``part``
-         hash-partition key is stamped per doc)
-    ──groupby(part)──▶ one shuffle total
-    ──map_groups(vectorized in-partition reassembly + atomic
-        partition write + _MANIFEST.json)──▶ manifest rows (tiny)
+    documents_raw ──map_batches(parse+pack, stateless tasks)──▶
+        packed rows (part, doc_id, spans)   [or span rows, packed=False]
+    ──repartition(n_partitions)──▶ bounded shuffle fan-out
+    ──groupby(part).map_groups──▶ one shuffle total
+        (per-partition reassembly where needed + atomic write +
+         _MANIFEST.json) ──▶ manifest rows (tiny)
 
 Design decisions for 100 TB scale:
 
-* **One shuffle.** Document reassembly and partition-granular output
-  share the same exchange: grouping by ``part = hash(doc_id) % n``
-  co-locates every span of a doc AND every doc of an output partition,
-  so in-partition reassembly (sort by (doc_id, offset), run-length
-  pack — all vectorized numpy/pyarrow, no per-doc Python call) and the
-  resumable write happen in the same task.  A per-doc
-  ``groupby(doc_id).map_groups`` variant exists in
-  ``stages/reassemble.py`` for operator-level use.
+* **One shuffle, one row per document.** Every span of a doc is born
+  in a single parse call (offsets computed inside the per-doc parse),
+  so ordered spans are packed into ``list<struct>`` in-task and the
+  ``part = hash(doc_id) % n`` exchange moves packed doc rows — ~6×
+  fewer sort rows than the span-row layout (which remains available:
+  ``packed=False`` here, per-doc ``groupby(doc_id)`` reassembly in
+  ``stages/reassemble.py`` for flows that scatter spans across tasks).
 * **Resume before the work, not after.** Completed partitions (valid
   manifests) are dropped by a vectorized filter right after the read,
   so a resumed run re-parses only missing partitions.
@@ -112,7 +111,7 @@ class PackingPayloadParser:
         offsets: list[int] = [0]
         kinds: list[str] = []
         texts: list[str] = []
-        refs: list[int] = []
+        refs: list[str] = []
         offs: list[int] = []
         for doc_id, payload in zip(
             batch.column("doc_id").to_pylist(), batch.column("payload").to_pylist()
