@@ -502,6 +502,60 @@ def _q_event_median(sf_dir: str):
     return grouped_median(ev, "event_type", "value", alias="median_value")
 
 
+def _q_asof_join(sf_dir: str):
+    """As-of join (broadcast right): each event matched to the most
+    recent order of customer=user_id with o_orderdate <= ts."""
+    import pyarrow.parquet as pq
+
+    from agentic_rag_for_multi_model_pdf_extraction_ray.ops.join import (
+        asof_join_broadcast,
+    )
+    from agentic_rag_for_multi_model_pdf_extraction_ray.sources.corpus import read_table
+
+    orders = pq.read_table(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_orderdate", "o_orderkey"],
+    ).to_pandas()
+    # unique per (key, ts): keep max orderkey — mirrored in the SQL CTE
+    orders = orders.groupby(["o_custkey", "o_orderdate"], as_index=False).agg(
+        o_orderkey=("o_orderkey", "max")
+    )
+    ev = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    out = asof_join_broadcast(
+        ev, orders, key="user_id", right_key="o_custkey",
+        ts="ts", right_ts="o_orderdate", right_cols=["o_orderkey"],
+    ).to_pandas()
+    out = out.dropna(subset=["o_orderkey"])  # inner semantics, int-stable
+    return pd.DataFrame({
+        "event_id": out["event_id"].astype("int64"),
+        "o_orderkey": out["o_orderkey"].astype("int64"),
+    })
+
+
+def _q_top_events_per_user(sf_dir: str):
+    from agentic_rag_for_multi_model_pdf_extraction_ray.ops.sample import (
+        stratified_head,
+    )
+    from agentic_rag_for_multi_model_pdf_extraction_ray.sources.corpus import read_table
+
+    ev = read_table(sf_dir, "events", columns=["user_id", "event_id", "value"])
+    return stratified_head(ev, group_col="user_id", order_col=["value", "event_id"],
+                           n=3, ascending=[False, True])
+
+
+def _q_approx_distinct_users(sf_dir: str):
+    """HyperLogLog distinct-user estimate (mergeable per-batch
+    sketches; deterministic hashing so the estimate is stable)."""
+    from agentic_rag_for_multi_model_pdf_extraction_ray.ops.sketch import (
+        approx_distinct,
+    )
+    from agentic_rag_for_multi_model_pdf_extraction_ray.sources.corpus import read_table
+
+    ev = read_table(sf_dir, "events", columns=["user_id"])
+    est = approx_distinct(ev, "user_id", p=12)
+    return pd.DataFrame({"n_distinct_approx": [int(round(est))]})
+
+
 def _q_top_tokens(sf_dir: str):
     from agentic_rag_for_multi_model_pdf_extraction_ray.ops.sample import top_tokens
     from agentic_rag_for_multi_model_pdf_extraction_ray.sources.corpus import read_table
@@ -699,6 +753,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_stratified_sample": _q_stratified_sample,
         "q_event_median": _q_event_median,
         "q_top_tokens": _q_top_tokens,
+        "q_asof_join": _q_asof_join,
+        "q_top_events_per_user": _q_top_events_per_user,
+        "q_approx_distinct_users": _q_approx_distinct_users,
         # extraction engine (rows-only checks; pytest holds the strict gate)
         "q_extract_spans": _q_extract_spans,
         "q_extract_documents": _q_extract_documents,
@@ -916,6 +973,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT token, count(*) AS n FROM toks
             WHERE token != ''
             GROUP BY token ORDER BY n DESC, token LIMIT 20
+        """,
+        "q_asof_join": """
+            WITH o AS (
+              SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+              FROM orders GROUP BY o_custkey, o_orderdate
+            )
+            SELECT e.event_id, o.o_orderkey
+            FROM events e ASOF JOIN o
+              ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+        """,
+        "q_top_events_per_user": """
+            SELECT user_id, event_id, value FROM (
+              SELECT user_id, event_id, value,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY value DESC, event_id) AS rn
+              FROM events
+            ) WHERE rn <= 3
         """,
         "q_embed_label_norms": """
             SELECT label, count(*) AS n,

@@ -56,6 +56,45 @@ def broadcast_semi_join(ds: rd.Dataset, keys, on: str, anti: bool = False) -> rd
     return ds.map_batches(filt, batch_format="pandas")
 
 
+def asof_join_broadcast(
+    left: rd.Dataset,
+    right: pd.DataFrame,
+    key: str,
+    right_key: str,
+    ts: str,
+    right_ts: str,
+    right_cols: list[str],
+) -> rd.Dataset:
+    """As-of (backward) join: for each left row, the most recent right
+    row with ``right_ts <= ts`` for the same key.
+
+    Broadcast shape: the right side (dimension-like — orders, rates,
+    config history) is shipped once via ``ray.put`` sorted by
+    (key, ts); each left batch runs one vectorized ``pd.merge_asof``.
+    No shuffle.  For two LARGE sides the pattern is hash-bucketing both
+    on ``key`` and running this per bucket (the partitioning
+    assumption: all rows of a key land in one bucket).
+
+    Right rows must be unique per (key, ts) for deterministic output —
+    pre-aggregate the right side (e.g. keep max id per (key, ts)).
+    """
+    r = right[[right_key, right_ts] + [c for c in right_cols
+                                       if c not in (right_key, right_ts)]]
+    r = r.sort_values([right_ts, right_key], kind="mergesort").reset_index(drop=True)
+    ref = ray.put(r)
+
+    def per_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        rt = ray.get(ref)
+        lb = batch.sort_values(ts, kind="mergesort")
+        out = pd.merge_asof(
+            lb, rt, left_on=ts, right_on=right_ts,
+            left_by=key, right_by=right_key, direction="backward",
+        )
+        return out
+
+    return left.map_batches(per_batch, batch_format="pandas")
+
+
 def shuffle_join(
     left: rd.Dataset,
     right: rd.Dataset,

@@ -45,11 +45,16 @@ def bernoulli_sample(ds: rd.Dataset, key_col: str, rate: float) -> rd.Dataset:
     return ds.map_batches(f, batch_format="pandas")
 
 
-def stratified_head(ds: rd.Dataset, group_col: str, order_col: str, n: int) -> rd.Dataset:
-    """First n rows per group ordered by ``order_col`` (deterministic)."""
+def stratified_head(ds: rd.Dataset, group_col: str, order_col, n: int,
+                    ascending=True) -> rd.Dataset:
+    """First n rows per group in a deterministic order (SQL
+    ``row_number() over (partition by g order by ...)``); pass lists
+    for multi-column ordering / top-N-by-value."""
+    order_cols = order_col if isinstance(order_col, list) else [order_col]
 
     def head(group: pd.DataFrame) -> pd.DataFrame:
-        return group.sort_values(order_col, kind="mergesort").head(n)
+        return group.sort_values(order_cols, ascending=ascending,
+                                 kind="mergesort").head(n)
 
     return ds.groupby(group_col).map_groups(head, batch_format="pandas")
 

@@ -1,0 +1,145 @@
+"""Mergeable sketches: HyperLogLog distinct counting, Bloom-filter
+membership.
+
+Sketches are THE scale pattern for aggregations whose exact form
+shuffles too much (Ray guide: emit one serialized sketch per batch,
+merge in a tiny second stage).  Both are deterministic (blake2b-based
+hashing — identical across workers/runs).
+
+* :class:`HyperLogLog` — standard HLL (Flajolet et al. 2007) with the
+  small-range linear-counting correction; ``2^p`` registers;
+  numpy-vectorized add/merge.  ``approx_distinct`` runs it as
+  per-batch partial sketches → single driver merge: the shuffle moves
+  ``#batches`` byte arrays instead of every value.
+* :class:`BloomFilter` — k-hash bitset built from double hashing;
+  ``bloom_semi_join`` broadcasts the filter and drops non-members
+  inside ``map_batches`` (a pre-filter for big-side semi joins — false
+  positives possible, no false negatives, so follow with an exact join
+  when exactness matters).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray
+import ray.data as rd
+
+from ..functions.hashing import _mix64
+
+
+def _hash64_batch(values) -> np.ndarray:
+    """Deterministic 64-bit hashes of a value array (via utf-8/bytes)."""
+    import hashlib
+
+    out = np.empty(len(values), dtype=np.uint64)
+    for i, v in enumerate(values):
+        out[i] = int.from_bytes(
+            hashlib.blake2b(str(v).encode("utf-8"), digest_size=8).digest(), "big"
+        )
+    return out
+
+
+class HyperLogLog:
+    def __init__(self, p: int = 12):
+        self.p = p
+        self.m = 1 << p
+        self.registers = np.zeros(self.m, dtype=np.uint8)
+        if p == 12:
+            self.alpha = 0.7213 / (1 + 1.079 / self.m)
+        else:
+            self.alpha = 0.7213 / (1 + 1.079 / self.m)
+
+    def add_hashes(self, h: np.ndarray) -> None:
+        w = 64 - self.p
+        idx = (h >> np.uint64(w)).astype(np.int64)
+        v = h & np.uint64((1 << w) - 1)  # low w bits
+        # rank = leading zeros within the w-bit window + 1
+        #      = w - bitlength(v) + 1;  v == 0 → w + 1
+        rank = np.full(len(h), w + 1, dtype=np.uint8)
+        nz = v != 0
+        bitlen = np.floor(np.log2(v[nz].astype(np.float64))).astype(np.int64) + 1
+        rank[nz] = (w - bitlen + 1).astype(np.uint8)
+        np.maximum.at(self.registers, idx, rank)
+
+    def add(self, values) -> None:
+        self.add_hashes(_hash64_batch(values))
+
+    def merge(self, other: "HyperLogLog") -> "HyperLogLog":
+        assert self.p == other.p
+        self.registers = np.maximum(self.registers, other.registers)
+        return self
+
+    def estimate(self) -> float:
+        m = float(self.m)
+        E = self.alpha * m * m / np.sum(2.0 ** -self.registers.astype(np.float64))
+        if E <= 2.5 * m:
+            zeros = int((self.registers == 0).sum())
+            if zeros:
+                E = m * np.log(m / zeros)
+        return float(E)
+
+    def to_bytes(self) -> bytes:
+        return self.registers.tobytes()
+
+    @classmethod
+    def from_bytes(cls, b: bytes, p: int = 12) -> "HyperLogLog":
+        h = cls(p)
+        h.registers = np.frombuffer(b, dtype=np.uint8).copy()
+        return h
+
+
+def approx_distinct(ds: rd.Dataset, col: str, p: int = 12) -> float:
+    """Approximate COUNT(DISTINCT col): per-batch HLL partials (one
+    bytes row per batch through the exchange), merged on the driver."""
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        h = HyperLogLog(p)
+        h.add(batch[col].to_numpy())
+        return pd.DataFrame({"sketch": [h.to_bytes()]})
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    merged = HyperLogLog(p)
+    for b in parts["sketch"]:
+        merged.merge(HyperLogLog.from_bytes(b, p))
+    return merged.estimate()
+
+
+class BloomFilter:
+    def __init__(self, n_bits: int = 1 << 20, k: int = 5):
+        self.n_bits = n_bits
+        self.k = k
+        self.bits = np.zeros(n_bits // 8 + 1, dtype=np.uint8)
+
+    def _positions(self, h: np.ndarray) -> np.ndarray:
+        # double hashing: g_i(x) = h1 + i*h2 mod n_bits
+        h1 = h % np.uint64(self.n_bits)
+        h2 = _mix64(h) % np.uint64(self.n_bits - 1) + np.uint64(1)
+        i = np.arange(self.k, dtype=np.uint64)[:, None]
+        with np.errstate(over="ignore"):
+            return ((h1[None, :] + i * h2[None, :]) % np.uint64(self.n_bits)).astype(np.int64)
+
+    def add(self, values) -> None:
+        pos = self._positions(_hash64_batch(values)).ravel()
+        np.bitwise_or.at(self.bits, pos // 8, (1 << (pos % 8)).astype(np.uint8))
+
+    def contains(self, values) -> np.ndarray:
+        pos = self._positions(_hash64_batch(values))
+        hit = (self.bits[pos // 8] >> (pos % 8)) & 1
+        return hit.all(axis=0).astype(bool)
+
+
+def bloom_semi_join(ds: rd.Dataset, keys, on: str, n_bits: int = 1 << 20,
+                    k: int = 5) -> rd.Dataset:
+    """Semi-join pre-filter: broadcast a Bloom filter of ``keys``, keep
+    rows whose ``on`` value is (probably) a member.  False positives
+    pass; follow with an exact join for exactness."""
+    bf = BloomFilter(n_bits, k)
+    bf.add(np.asarray(list(keys)))
+    ref = ray.put(bf)
+
+    def filt(batch: pd.DataFrame) -> pd.DataFrame:
+        f = ray.get(ref)
+        return batch[f.contains(batch[on].to_numpy())]
+
+    return ds.map_batches(filt, batch_format="pandas")
