@@ -40,8 +40,10 @@ def round_half_up(x, k: int = 6):
 
 
 def sql_cents(col: str) -> str:
-    return f"CAST(floor({col} * 100 + 0.5) AS BIGINT)"
+    # explicit DOUBLE cast: a DECIMAL-typed expression would otherwise
+    # hit DuckDB's decimal-multiplication overflow and round decimally
+    return f"CAST(floor(CAST({col} AS DOUBLE) * 100 + 0.5) AS BIGINT)"
 
 
 def sql_round6(expr: str) -> str:
-    return f"floor(({expr}) * 1000000 + 0.5) / 1000000"
+    return f"floor(CAST(({expr}) AS DOUBLE) * 1000000 + 0.5) / 1000000"
