@@ -177,38 +177,92 @@ def minhash_lsh_candidates(ds: rd.Dataset, num_perm: int = 64, num_bands: int = 
     return cand.groupby(["a", "b"]).aggregate(Count(alias_name="_c")).select_columns(["a", "b"])
 
 
+class SignatureStage:
+    """Actor stage: text → one (doc_id, sig bytes) row per doc."""
+
+    def __init__(self, num_perm: int = 64, shingle_k: int = 5,
+                 id_col: str = "doc_id", text_col: str = "text") -> None:
+        self.mh = MinHasher(num_perm=num_perm)
+        self.shingle_k = shingle_k
+        self.id_col = id_col
+        self.text_col = text_col
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        sigs, keep = [], []
+        for i, t in zip(batch[self.id_col], batch[self.text_col]):
+            sh = char_shingles(t or "", self.shingle_k)
+            if not sh:
+                continue
+            keep.append(i)
+            sigs.append(self.mh.signature(sh).tobytes())
+        return pd.DataFrame({self.id_col: keep, "sig": sigs})
+
+
 def minhash_dedup_clusters(ds: rd.Dataset, threshold: float = 0.7, num_perm: int = 64,
                            num_bands: int = 16, shingle_k: int = 5,
                            id_col: str = "doc_id", text_col: str = "text",
                            concurrency: int = 2) -> pd.DataFrame:
     """Full near-dup pass → (doc_id, cluster_id=min id of its cluster).
 
-    Candidate pairs are Jaccard-verified against the broadcast shingle
-    sets of candidate docs only (the candidate set is tiny vs the
-    corpus), then clustered by union-find on the driver — valid while
-    candidates fit on the driver; the scale path iterates min-label
-    propagation as a groupby loop instead.
+    ONE heavy pass over the corpus: per-doc signatures (64 uint64 =
+    512 B/doc) are computed once and materialized (tiny vs the texts);
+    band keys for LSH blocking AND the pair verification (estimated
+    Jaccard = fraction of agreeing signature positions — standard at
+    corpus scale; std ≈ 1/√num_perm) both derive from that table, so
+    the raw text is never re-scanned.  Clustering is driver-side
+    union-find over the verified pairs — valid while candidates fit on
+    the driver; the scale path iterates min-label propagation as a
+    groupby loop instead.
     """
-    cand = minhash_lsh_candidates(ds, num_perm, num_bands, shingle_k, concurrency).to_pandas()
-    if len(cand) == 0:
-        ids = ds.select_columns([id_col]).to_pandas()[id_col]
-        return pd.DataFrame({id_col: ids, "cluster_id": ids})
+    mh = MinHasher(num_perm=num_perm)
+    sig_ds = ds.map_batches(
+        SignatureStage,
+        fn_constructor_kwargs=dict(num_perm=num_perm, shingle_k=shingle_k,
+                                   id_col=id_col, text_col=text_col),
+        batch_format="pandas",
+        concurrency=concurrency,
+    ).materialize()
 
-    cand_ids = set(cand["a"]) | set(cand["b"])
-    cand_ref = ray.put(cand_ids)
+    def explode_bands(batch: pd.DataFrame) -> pd.DataFrame:
+        sigs = np.stack([np.frombuffer(b, dtype=np.uint64) for b in batch["sig"]]) \
+            if len(batch) else np.zeros((0, num_perm), dtype=np.uint64)
+        keys = mh.band_keys_matrix(sigs, num_bands) if len(batch) else \
+            np.zeros((0, num_bands), dtype=np.uint64)
+        return pd.DataFrame({
+            "doc_id": np.repeat(batch[id_col].to_numpy(), num_bands),
+            "band_key": keys.reshape(-1).view(np.int64),
+            "gk": (keys.reshape(-1).view(np.int64)) % 4096,
+        })
 
-    def shingles_of(batch: pd.DataFrame) -> pd.DataFrame:
-        want = ray.get(cand_ref)
-        sub = batch[batch[id_col].isin(want)]
+    def star_pairs_vec(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.drop_duplicates(["band_key", "doc_id"]).sort_values(
+            ["band_key", "doc_id"])
+        first = g.groupby("band_key")["doc_id"].transform("first")
+        mask = (g["doc_id"] != first).to_numpy()
         return pd.DataFrame(
-            {
-                id_col: sub[id_col],
-                "sh": [char_shingles(t or "", shingle_k) for t in sub[text_col]],
-            }
+            {"a": first.to_numpy()[mask], "b": g["doc_id"].to_numpy()[mask]}
         )
 
-    sh = ds.map_batches(shingles_of, batch_format="pandas").to_pandas()
-    shmap = dict(zip(sh[id_col], sh["sh"]))
+    from ray.data.aggregate import Count
+
+    cand = (
+        sig_ds.map_batches(explode_bands, batch_format="pandas")
+        .groupby("gk")
+        .map_groups(star_pairs_vec, batch_format="pandas")
+        .groupby(["a", "b"])
+        .aggregate(Count(alias_name="_c"))
+        .select_columns(["a", "b"])
+        .to_pandas()
+        .drop_duplicates(["a", "b"])
+    )
+    all_ids = ds.select_columns([id_col]).to_pandas()[id_col]
+    if len(cand) == 0:
+        return pd.DataFrame({id_col: all_ids, "cluster_id": all_ids})
+
+    # verification from the signature table (estimated Jaccard)
+    sig_df = sig_ds.to_pandas()
+    sigmap = {i: np.frombuffer(b, dtype=np.uint64)
+              for i, b in zip(sig_df[id_col], sig_df["sig"])}
 
     parent: dict = {}
 
@@ -219,14 +273,16 @@ def minhash_dedup_clusters(ds: rd.Dataset, threshold: float = 0.7, num_perm: int
         return x
 
     for a, b in zip(cand["a"], cand["b"]):
-        if jaccard(shmap.get(a, set()), shmap.get(b, set())) >= threshold:
+        sa, sb = sigmap.get(a), sigmap.get(b)
+        if sa is None or sb is None:
+            continue
+        if float((sa == sb).mean()) >= threshold:
             ra, rb = find(a), find(b)
             if ra != rb:
                 lo, hi = (ra, rb) if ra < rb else (rb, ra)
                 parent[hi] = lo
 
-    ids = ds.select_columns([id_col]).to_pandas()[id_col]
-    return pd.DataFrame({id_col: ids, "cluster_id": [find(i) for i in ids]})
+    return pd.DataFrame({id_col: all_ids, "cluster_id": [find(i) for i in all_ids]})
 
 
 # ---------- SimHash ----------
