@@ -29,6 +29,8 @@ import ray.data as rd
 from ray.data.aggregate import Min
 
 from ..functions.hashing import (
+    _SHINGLE_BASE,
+    _mix64,
     MinHasher,
     char_shingles,
     hamming64,
@@ -84,6 +86,34 @@ def exact_dedup(ds: rd.Dataset, id_col: str = "doc_id", text_col: str = "text") 
 
 
 # ---------- MinHash + LSH ----------
+
+def _distinct_pairs(cand: rd.Dataset) -> rd.Dataset:
+    """Exact distributed DISTINCT over (a, b) pair rows.
+
+    A groupby-aggregate here creates one reduce group per distinct
+    pair (measured: 31 s for 218k pairs); instead bucket pairs into a
+    BOUNDED number of groups and drop duplicates vectorized per
+    bucket."""
+
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        with np.errstate(over="ignore"):
+            h = (b["a"].to_numpy().astype(np.int64) * np.int64(1099511628211)
+                 + b["b"].to_numpy().astype(np.int64))
+        b["pk"] = h % 1024
+        return b
+
+    def dedup(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["a", "b"])[["a", "b"]]
+
+    return (
+        cand.map_batches(add_bucket, batch_format="pandas")
+        .repartition(32)
+        .groupby("pk")
+        .map_groups(dedup, batch_format="pandas")
+    )
+
+
 
 
 class MinHashSignatures:
@@ -170,11 +200,11 @@ def minhash_lsh_candidates(ds: rd.Dataset, num_perm: int = 64, num_bands: int = 
 
     cand = (
         band_rows.map_batches(add_super_bucket, batch_format="pandas")
+        .repartition(32)  # bound the groupby's B^2 shuffle fan-out
         .groupby("gk")
         .map_groups(star_pairs_vec, batch_format="pandas")
     )
-    # distinct pairs (groupby needs >=1 agg; the count is dropped)
-    return cand.groupby(["a", "b"]).aggregate(Count(alias_name="_c")).select_columns(["a", "b"])
+    return _distinct_pairs(cand)
 
 
 class SignatureStage:
@@ -245,16 +275,12 @@ def minhash_dedup_clusters(ds: rd.Dataset, threshold: float = 0.7, num_perm: int
 
     from ray.data.aggregate import Count
 
-    cand = (
+    cand = _distinct_pairs(
         sig_ds.map_batches(explode_bands, batch_format="pandas")
+        .repartition(32)  # bound the groupby's B^2 shuffle fan-out
         .groupby("gk")
         .map_groups(star_pairs_vec, batch_format="pandas")
-        .groupby(["a", "b"])
-        .aggregate(Count(alias_name="_c"))
-        .select_columns(["a", "b"])
-        .to_pandas()
-        .drop_duplicates(["a", "b"])
-    )
+    ).to_pandas()
     all_ids = ds.select_columns([id_col]).to_pandas()[id_col]
     if len(cand) == 0:
         return pd.DataFrame({id_col: all_ids, "cluster_id": all_ids})
@@ -370,15 +396,38 @@ def ngram_jaccard_pairs(ds: rd.Dataset, n: int = 3, threshold: float = 0.5,
                         id_col: str = "doc_id", text_col: str = "text") -> pd.DataFrame:
     """Near-dup pairs by word n-gram Jaccard; candidates blocked by
     shared n-grams (explode → groupby(gram)) so only docs sharing at
-    least one n-gram are ever compared."""
+    least one n-gram are ever compared.  The per-doc n-gram HASH sets
+    (one materialized pass) also feed the exact-Jaccard verification —
+    hashing word n-grams instead of materializing their strings is
+    exact for Jaccard up to 64-bit collisions (~n²/2⁶⁴)."""
+
+    def gram_hashes(text: str) -> np.ndarray:
+        toks = (text or "").lower().split()
+        if not toks:
+            return np.zeros(0, dtype=np.uint64)
+        if len(toks) < n:
+            return np.array([stable_hash64(" ".join(toks))], dtype=np.uint64)
+        tok_h = np.fromiter((stable_hash64(t) for t in toks), dtype=np.uint64,
+                            count=len(toks))
+        with np.errstate(over="ignore"):
+            windows = np.lib.stride_tricks.sliding_window_view(tok_h, n)
+            weights = np.empty(n, dtype=np.uint64)
+            weights[0] = 1
+            for i in range(1, n):
+                weights[i] = weights[i - 1] * _SHINGLE_BASE
+            h = _mix64((windows * weights[None, ::-1]).sum(axis=1, dtype=np.uint64))
+        return np.unique(h)
 
     def explode(batch: pd.DataFrame) -> pd.DataFrame:
         ids, grams = [], []
         for i, t in zip(batch[id_col], batch[text_col]):
-            for g in word_ngrams(t or "", n):
-                ids.append(i)
-                grams.append(np.int64(stable_hash64(g) - (1 << 63)))
-        return pd.DataFrame({"doc_id": ids, "gram": grams})
+            h = gram_hashes(t)
+            ids.append(np.full(len(h), i))
+            grams.append(h.view(np.int64))
+        if not ids:
+            return pd.DataFrame({"doc_id": [], "gram": []})
+        return pd.DataFrame({"doc_id": np.concatenate(ids),
+                             "gram": np.concatenate(grams)})
 
     def add_super_bucket(batch: pd.DataFrame) -> pd.DataFrame:
         batch = batch.copy()
@@ -395,16 +444,13 @@ def ngram_jaccard_pairs(ds: rd.Dataset, n: int = 3, threshold: float = 0.5,
 
     from ray.data.aggregate import Count
 
-    cand = (
+    cand = _distinct_pairs(
         ds.map_batches(explode, batch_format="pandas")
         .map_batches(add_super_bucket, batch_format="pandas")
+        .repartition(32)  # bound the groupby's B^2 shuffle fan-out
         .groupby("gk")
         .map_groups(star_pairs_vec, batch_format="pandas")
-        .groupby(["a", "b"])
-        .aggregate(Count(alias_name="_c"))
-        .select_columns(["a", "b"])
-        .to_pandas()
-    )
+    ).to_pandas()
     if len(cand) == 0:
         return pd.DataFrame({"a": [], "b": [], "jaccard": []})
     need = set(cand["a"]) | set(cand["b"])
@@ -413,7 +459,8 @@ def ngram_jaccard_pairs(ds: rd.Dataset, n: int = 3, threshold: float = 0.5,
     def grams_of(batch: pd.DataFrame) -> pd.DataFrame:
         sub = batch[batch[id_col].isin(ray.get(ref))]
         return pd.DataFrame(
-            {id_col: sub[id_col], "g": [word_ngrams(t or "", n) for t in sub[text_col]]}
+            {id_col: sub[id_col],
+             "g": [set(gram_hashes(t).tolist()) for t in sub[text_col]]}
         )
 
     gm = ds.map_batches(grams_of, batch_format="pandas").to_pandas()
