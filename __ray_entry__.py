@@ -543,6 +543,26 @@ def _q_top_events_per_user(sf_dir: str):
                            n=3, ascending=[False, True])
 
 
+def _q_repetition_ratio(sf_dir: str):
+    """Within-document token repetition (Gopher-style repetition
+    filter signal): 1 - distinct_tokens/total_tokens, half-up 6dp."""
+    from agentic_rag_for_multi_model_pdf_extraction_ray.functions.rounding import (
+        round_half_up,
+    )
+    from agentic_rag_for_multi_model_pdf_extraction_ray.sources.corpus import read_table
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def f(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b["text"].fillna("").str.strip().str.split(" ")
+        total = toks.str.len()
+        distinct = toks.map(lambda ws: len(set(ws)))
+        ratio = round_half_up((1.0 - distinct / total).fillna(0.0), 6)
+        return pd.DataFrame({"doc_id": b["doc_id"], "repetition": ratio})
+
+    return docs.map_batches(f, batch_format="pandas")
+
+
 def _q_approx_distinct_users(sf_dir: str):
     """HyperLogLog distinct-user estimate (mergeable per-batch
     sketches; deterministic hashing so the estimate is stable)."""
@@ -756,6 +776,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_asof_join": _q_asof_join,
         "q_top_events_per_user": _q_top_events_per_user,
         "q_approx_distinct_users": _q_approx_distinct_users,
+        "q_repetition_ratio": _q_repetition_ratio,
         # extraction engine (rows-only checks; pytest holds the strict gate)
         "q_extract_spans": _q_extract_spans,
         "q_extract_documents": _q_extract_documents,
@@ -964,6 +985,13 @@ def oracle_sql() -> dict[str, str]:
         "q_event_median": """
             SELECT event_type, median(value) AS median_value
             FROM events GROUP BY event_type
+        """,
+        "q_repetition_ratio": """
+            SELECT doc_id,
+                   floor(CAST(1.0 - len(list_distinct(string_split(trim(text), ' ')))
+                              * 1.0 / len(string_split(trim(text), ' ')) AS DOUBLE)
+                         * 1000000 + 0.5) / 1000000 AS repetition
+            FROM documents
         """,
         "q_top_tokens": """
             WITH toks AS (
