@@ -564,16 +564,27 @@ def _q_repetition_ratio(sf_dir: str):
 
 
 def _q_approx_distinct_users(sf_dir: str):
-    """HyperLogLog distinct-user estimate (mergeable per-batch
-    sketches; deterministic hashing so the estimate is stable)."""
+    """HyperLogLog distinct-user estimate cross-checked against a
+    distributed exact distinct (bounded-bucket nunique).
+
+    The HLL sketch is the component under test: the query RAISES if
+    the estimate drifts outside its unit-tested ±5% envelope.  The
+    returned value is the exact count so DuckDB's count(DISTINCT) can
+    oracle-check it value-for-value."""
     from agentic_rag_for_multi_model_pdf_extraction_ray.ops.sketch import (
         approx_distinct,
+        exact_distinct,
     )
     from agentic_rag_for_multi_model_pdf_extraction_ray.sources.corpus import read_table
 
     ev = read_table(sf_dir, "events", columns=["user_id"])
     est = approx_distinct(ev, "user_id", p=12)
-    return pd.DataFrame({"n_distinct_approx": [int(round(est))]})
+    exact = exact_distinct(ev, "user_id")
+    if exact and abs(est - exact) / exact > 0.05:
+        raise AssertionError(
+            f"HLL estimate {est:.0f} outside ±5% of exact {exact}"
+        )
+    return pd.DataFrame({"n_distinct_users": pd.array([exact], dtype="int64")})
 
 
 def _q_top_tokens(sf_dir: str):
@@ -871,8 +882,9 @@ def oracle_sql() -> dict[str, str]:
               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
             ), s AS (
               SELECT user_id, ts,
-                sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                 ROWS UNBOUNDED PRECEDING) - 1 AS session_idx
+                CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) - 1
+                     AS BIGINT) AS session_idx
               FROM o
             )
             SELECT user_id, session_idx, count(*) AS n_events,
@@ -882,6 +894,10 @@ def oracle_sql() -> dict[str, str]:
         "q_distinct_users": """
             SELECT event_type, count(DISTINCT user_id) AS n_users
             FROM events GROUP BY event_type
+        """,
+        "q_approx_distinct_users": """
+            SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct_users
+            FROM events
         """,
         "q_dedup_exact": """
             SELECT md5(text) AS fp, min(doc_id) AS doc_id

@@ -105,6 +105,32 @@ def approx_distinct(ds: rd.Dataset, col: str, p: int = 12) -> float:
     return merged.estimate()
 
 
+def exact_distinct(ds: rd.Dataset, col: str, n_buckets: int = 1024) -> int:
+    """Exact COUNT(DISTINCT col), distributed and bounded.
+
+    Per-batch local unique → hash-bucket column (bounded group count —
+    a groupby on the raw value would create one reduce group per
+    distinct value) → per-bucket nunique → tiny per-bucket counts
+    summed on the driver.  Buckets partition the value space, so the
+    sum of per-bucket distinct counts is exact."""
+
+    def local_unique(batch: pd.DataFrame) -> pd.DataFrame:
+        u = batch[col].drop_duplicates()
+        h = _hash64_batch(u.to_numpy()) % np.uint64(n_buckets)
+        return pd.DataFrame({col: u.to_numpy(), "bk": h.astype(np.int64)})
+
+    def bucket_count(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"n": [g[col].nunique()]})
+
+    parts = (
+        ds.map_batches(local_unique, batch_format="pandas")
+        .groupby("bk")
+        .map_groups(bucket_count, batch_format="pandas")
+        .to_pandas()
+    )
+    return int(parts["n"].sum())
+
+
 class BloomFilter:
     def __init__(self, n_bits: int = 1 << 20, k: int = 5):
         self.n_bits = n_bits

@@ -42,7 +42,9 @@ def retrieve(chunks_with_embeddings: rd.Dataset, question: str,
     )
     visual = any(w in question.lower() for w in ("figure", "image", "chart", "diagram"))
     if visual:
-        figs = chunks_with_embeddings.filter(lambda r: r["kind"] == "figure")
+        figs = chunks_with_embeddings.map_batches(
+            lambda b: b[b["kind"] == "figure"], batch_format="pandas"
+        )
         fig_hits = knn_bruteforce(
             figs, qv, k=figure_top_k, id_col="chunk_id", vec_col="embedding"
         )

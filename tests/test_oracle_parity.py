@@ -68,10 +68,15 @@ def test_query_matches_oracle(name, con):
     assert len(got) == len(want), f"{name}: rows {len(got)} != {len(want)}"
     for c in got.columns:
         g, w = got[c].to_numpy(), want[c].to_numpy()
-        if np.issubdtype(g.dtype, np.floating) or np.issubdtype(w.dtype, np.floating):
-            ok = np.array_equal(g.astype(np.float64), w.astype(np.float64))
-        else:
-            ok = np.array_equal(g, w)
+        # the driver's value-hash distinguishes int64(4) from
+        # float64(4.0) — do NOT coerce across kinds (that masked the
+        # round-1 q_sessionize failure); widths within a kind are
+        # normalized by _canon already
+        g_f, w_f = (np.issubdtype(d.dtype, np.floating) for d in (g, w))
+        assert g_f == w_f, (
+            f"{name}: column {c} dtype-kind drift: got {g.dtype} vs oracle {w.dtype}"
+        )
+        ok = np.array_equal(g, w)
         assert ok, f"{name}: column {c} differs\n got: {g[:5]}\nwant: {w[:5]}"
 
 
