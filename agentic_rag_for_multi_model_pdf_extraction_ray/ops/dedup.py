@@ -3,28 +3,32 @@ SimHash, n-gram Jaccard, embedding-cosine near-dup.
 
 The reference deduplicates only retrieval hits by exact text
 (``orchestrator.py:125-126``); a 100 TB training-data pipeline needs
-the full family.  Shapes:
+the full family.  Shapes — no stage materializes the corpus or the
+candidate set on the driver:
 
 * exact / normalized: vectorized fingerprint column in ``map_batches``
   → ``groupby(fp).aggregate(Min(doc_id))`` — the shuffle moves one
   small row per distinct fingerprint group (Ray pushes partial
   Min/Count into the map side).
-* MinHash+LSH: shingle → signature per batch (vectorized modular
-  hashing) → explode to (band_key, doc_id) rows → ``groupby(band_key)``
-  → candidate pairs within buckets → Jaccard verify → min-label
-  connected components.  Only band-key rows shuffle, never documents.
-* SimHash: 64-bit signature per doc; near-dup candidates = identical
-  value on any of 4 16-bit sub-bands (Hamming ≤ 3 guarantee via
-  pigeonhole needs the verify step, done on candidate pairs).
-* embedding cosine: per-batch matmul against a broadcast matrix (small
-  corpora) or LSH-bucketed (random-hyperplane signs) at scale.
+* MinHash+LSH: one signature pass (512 B/doc, materialized) → band
+  explode → bounded-bucket within-band candidate pairs → signature-
+  agreement verify via two hash joins (``verify_pairs``) → distributed
+  min-label propagation (``connected_components_min_label``).
+* SimHash: 64-bit signature per doc; 4×16-bit band blocking; verify =
+  vectorized XOR+popcount on pairs carried through the band groupby.
+* n-gram Jaccard: gram-hash feature table (one pass) → shared-gram
+  blocking → exact Jaccard verify via two hash joins on the feature
+  table.
+* embedding cosine: exact baseline = block-replicated all-pairs GEMM
+  (``cosine_pairs_blocked``, ×n_blocks data amplification, bounded
+  group count); scale path = banded sign-LSH candidates
+  (``cosine_lsh_buckets``) + exact-cosine verify on candidates only.
 """
 
 from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-import ray
 import ray.data as rd
 from ray.data.aggregate import Min
 
@@ -33,11 +37,8 @@ from ..functions.hashing import (
     _mix64,
     MinHasher,
     char_shingles,
-    hamming64,
-    jaccard,
     simhash64,
     stable_hash64,
-    word_ngrams,
 )
 from ..functions.rounding import round_half_up
 from ..functions.text import fingerprint_batch
@@ -85,126 +86,241 @@ def exact_dedup(ds: rd.Dataset, id_col: str = "doc_id", text_col: str = "text") 
     )
 
 
-# ---------- MinHash + LSH ----------
+# ---------- shared pair machinery ----------
 
-def _distinct_pairs(cand: rd.Dataset) -> rd.Dataset:
-    """Exact distributed DISTINCT over (a, b) pair rows.
+
+def _id_hash(values) -> np.ndarray:
+    """Deterministic uint64 hash of an id array of ANY dtype (int,
+    string, ...) — pandas' siphash with its fixed default key, stable
+    across processes/workers."""
+    from pandas.util import hash_array
+
+    arr = np.asarray(values)
+    if arr.dtype == object:
+        return hash_array(arr, categorize=False)
+    return hash_array(arr)
+
+
+def _distinct_pairs(cand: rd.Dataset, extra_cols: tuple = (),
+                    n_buckets: int = 256) -> rd.Dataset:
+    """Exact distributed DISTINCT over (a, b) pair rows (extra columns
+    ride along, first occurrence kept — callers emit identical extras
+    for identical pairs).
 
     A groupby-aggregate here creates one reduce group per distinct
     pair (measured: 31 s for 218k pairs); instead bucket pairs into a
     BOUNDED number of groups and drop duplicates vectorized per
-    bucket."""
+    bucket.  Ids of any dtype (hashed, not cast)."""
+    keep = ["a", "b", *extra_cols]
 
     def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
         b = b.copy()
-        with np.errstate(over="ignore"):
-            h = (b["a"].to_numpy().astype(np.int64) * np.int64(1099511628211)
-                 + b["b"].to_numpy().astype(np.int64))
-        b["pk"] = h % 1024
+        h = _id_hash(b["a"]) * np.uint64(0x9E3779B97F4A7C15) ^ _id_hash(b["b"])
+        b["pk"] = (h % np.uint64(n_buckets)).astype(np.int64)
         return b
 
     def dedup(g: pd.DataFrame) -> pd.DataFrame:
-        return g.drop_duplicates(["a", "b"])[["a", "b"]]
+        return g.drop_duplicates(["a", "b"])[keep]
 
     return (
         cand.map_batches(add_bucket, batch_format="pandas")
         .repartition(32)
         .groupby("pk")
         .map_groups(dedup, batch_format="pandas")
+        # coalesce: groupby emits schema-less empty blocks on empty
+        # partitions, which break a downstream Arrow hash join's key
+        # resolution — repartition unifies them into schemaed blocks
+        .repartition(16)
     )
 
 
+def _within_bucket_pairs(g: pd.DataFrame, bucket_col: str, id_col: str,
+                         extra_cols: tuple = (), cap: int = 64) -> pd.DataFrame:
+    """All unordered id pairs within each bucket, vectorized.
+
+    Buckets of size ≤ cap: full all-pairs via a self-merge (C-speed).
+    Degenerate buckets (> cap — e.g. the empty-text band or a
+    stopword gram): star pairs against the bucket's min id, which
+    still connects the bucket for component purposes without the k²
+    blow-up.  Extra columns come out suffixed ``_a`` / ``_b``."""
+    cols = [bucket_col, id_col, *extra_cols]
+    g = g[cols].drop_duplicates([bucket_col, id_col])
+    sizes = g.groupby(bucket_col)[id_col].transform("size")
+    out = []
+    small = g[(sizes >= 2) & (sizes <= cap)]
+    if len(small):
+        m = small.merge(small, on=bucket_col, suffixes=("_a", "_b"))
+        m = m[m[f"{id_col}_a"] < m[f"{id_col}_b"]]
+        out.append(m)
+    large = g[sizes > cap]
+    if len(large):
+        l = large.sort_values([bucket_col, id_col], kind="mergesort")
+        isfirst = ~l[bucket_col].duplicated().to_numpy()
+        hub = l[isfirst]
+        rest = l[~isfirst]
+        m = rest.merge(hub, on=bucket_col, suffixes=("_b", "_a"))
+        out.append(m)
+    cols_out = {"a": f"{id_col}_a", "b": f"{id_col}_b"}
+    cols_out.update({f"{e}_a": f"{e}_a" for e in extra_cols})
+    cols_out.update({f"{e}_b": f"{e}_b" for e in extra_cols})
+    if not out:
+        src = {"a": id_col, "b": id_col}
+        src.update({f"{e}_a": e for e in extra_cols})
+        src.update({f"{e}_b": e for e in extra_cols})
+        return pd.DataFrame({k: pd.Series(dtype=g[c].dtype)
+                             for k, c in src.items()})
+    m = pd.concat(out, ignore_index=True)
+    return pd.DataFrame({k: m[c].to_numpy() for k, c in cols_out.items()})
 
 
-class MinHashSignatures:
-    """Actor stage: text → (doc_id, band_key rows).  MinHasher state
-    (permutation coefficients) built once per actor."""
+def verify_pairs(pairs: rd.Dataset, features: rd.Dataset, score_fn,
+                 id_col: str = "doc_id", feat_col: str = "feat",
+                 num_partitions: int = 16) -> rd.Dataset:
+    """Score candidate pairs against a per-id feature table with two
+    hash-partitioned joins — each id's feature ships to exactly the
+    partitions that need it; nothing lands on the driver.
 
-    def __init__(self, num_perm: int = 64, num_bands: int = 16, shingle_k: int = 5,
-                 id_col: str = "doc_id", text_col: str = "text") -> None:
-        self.mh = MinHasher(num_perm=num_perm)
-        self.num_bands = num_bands
-        self.shingle_k = shingle_k
-        self.id_col = id_col
-        self.text_col = text_col
+    ``score_fn(feats_a: list, feats_b: list) -> np.ndarray`` is called
+    per batch (vectorize inside).  Features must be join-safe scalars
+    (serialize arrays to bytes).  Pairs whose id lacks a feature row
+    are dropped (inner join)."""
+    def _renamed(side: str) -> rd.Dataset:
+        # Dataset.rename_columns fails on pandas-format blocks in this
+        # Ray version — rename per batch instead
+        def r(b: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({side: b[id_col].to_numpy(),
+                                 f"feat_{side}": b[feat_col].to_numpy()})
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        # fully vectorized over the batch: concat every doc's shingle
-        # hashes, one modular-hash matrix + minimum.reduceat, then a
-        # (docs × bands) key matrix — no per-doc numpy calls
-        per_doc = [
-            np.fromiter(char_shingles(t or "", self.shingle_k), dtype=np.uint64)
-            for t in batch[self.text_col]
-        ]
-        nonempty = [i for i, a in enumerate(per_doc) if len(a)]
-        if not nonempty:
-            return pd.DataFrame({"doc_id": [], "band_key": []})
-        arrs = [per_doc[i] for i in nonempty]
-        lens = np.array([len(a) for a in arrs])
-        # chunk so each (num_perm × shingles) temp stays L2-resident —
-        # measured faster than both per-doc calls and giant matrices
-        max_shingles = 4096
-        sig_chunks = []
-        i = 0
-        while i < len(arrs):
-            j, tot = i, 0
-            while j < len(arrs) and (tot == 0 or tot + lens[j] <= max_shingles):
-                tot += lens[j]
-                j += 1
-            chunk = arrs[i:j]
-            cl = lens[i:j]
-            starts = np.concatenate([[0], np.cumsum(cl)[:-1]])
-            sig_chunks.append(self.mh.signatures_concat(np.concatenate(chunk), starts))
-            i = j
-        sigs = np.concatenate(sig_chunks, axis=0)
-        keys = self.mh.band_keys_matrix(sigs, self.num_bands)  # (D, B)
-        ids = batch[self.id_col].to_numpy()[nonempty]
+        return features.map_batches(r, batch_format="pandas")
+
+    fa = _renamed("a")
+    fb = _renamed("b")
+    from .join import sized_join
+
+    j = sized_join(
+        sized_join(pairs, fa, "inner", on=("a",),
+                   requested_partitions=num_partitions),
+        fb, "inner", on=("b",), requested_partitions=num_partitions)
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            return pd.DataFrame({"a": [], "b": [], "score": []})
+        s = np.asarray(score_fn(b["feat_a"].tolist(), b["feat_b"].tolist()),
+                       dtype=np.float64)
+        return pd.DataFrame({"a": b["a"].to_numpy(), "b": b["b"].to_numpy(),
+                             "score": s})
+
+    return j.map_batches(score, batch_format="pandas")
+
+
+def connected_components_min_label(edges: rd.Dataset, max_iters: int = 30,
+                                   num_partitions: int = 8,
+                                   n_buckets: int = 1024) -> rd.Dataset:
+    """Distributed connected components by iterative min-label
+    propagation — the scale replacement for driver-side union-find.
+
+    ``label(x) ← min(label(x), min over neighbors' labels)``, repeated
+    to fixpoint (≤ component diameter rounds; near-dup clusters are
+    shallow stars, so typically 1–2).  Each round is one hash join
+    (edges ⋈ labels — only edge-scale data moves) and one
+    bounded-bucket per-node min (never one reduce group per node).
+    Convergence is detected with an order-insensitive XOR checksum of
+    (node, label) hashes — one tiny row per batch reaches the driver.
+
+    Returns (node, label) for every node that appears in an edge.
+    """
+
+    def both_dirs(b: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
-            "doc_id": np.repeat(ids, self.num_bands),
-            "band_key": keys.reshape(-1).view(np.int64),  # two's-complement view
+            "node": np.concatenate([b["a"].to_numpy(), b["b"].to_numpy()]),
+            "nbr": np.concatenate([b["b"].to_numpy(), b["a"].to_numpy()]),
         })
 
+    both = edges.map_batches(both_dirs, batch_format="pandas").materialize()
 
-def minhash_lsh_candidates(ds: rd.Dataset, num_perm: int = 64, num_bands: int = 16,
-                           shingle_k: int = 5, concurrency: int = 2) -> rd.Dataset:
-    """→ candidate pair rows (a, b) with a < b, distinct."""
-    band_rows = ds.map_batches(
-        MinHashSignatures,
-        fn_constructor_kwargs=dict(num_perm=num_perm, num_bands=num_bands, shingle_k=shingle_k),
+    def min_per_node(ds: rd.Dataset, val_col: str) -> rd.Dataset:
+        def add_bk(b: pd.DataFrame) -> pd.DataFrame:
+            b = b.copy()
+            b["bk"] = (_id_hash(b["node"]) % np.uint64(n_buckets)).astype(np.int64)
+            return b
+
+        def mins(g: pd.DataFrame) -> pd.DataFrame:
+            m = g.groupby("node", sort=False)[val_col].min().reset_index()
+            return m.rename(columns={val_col: "label"})
+
+        return (
+            ds.map_batches(add_bk, batch_format="pandas")
+            .groupby("bk")
+            .map_groups(mins, batch_format="pandas")
+            # coalesce schema-less empty groupby blocks before the join
+            .repartition(num_partitions)
+        )
+
+    def checksum(lab_ds: rd.Dataset) -> int:
+        def part(b: pd.DataFrame) -> pd.DataFrame:
+            h = _id_hash(b["node"]) ^ _mix64(_id_hash(b["label"]))
+            c = np.bitwise_xor.reduce(h) if len(h) else np.uint64(0)
+            return pd.DataFrame({"c": [np.uint64(c).astype(np.int64)]})
+
+        p = lab_ds.map_batches(part, batch_format="pandas").to_pandas()
+        if not len(p):
+            return 0
+        return int(np.bitwise_xor.reduce(p["c"].to_numpy().view(np.uint64)))
+
+    # round 0 folds the first propagation: label = min(node, min nbr)
+    init = both.map_batches(
+        lambda b: pd.DataFrame({
+            "node": b["node"],
+            "lab": np.minimum(b["node"].to_numpy(), b["nbr"].to_numpy()),
+        }),
         batch_format="pandas",
-        concurrency=concurrency,
     )
+    labels = min_per_node(init, "lab").materialize()
+    prev = checksum(labels)
 
-    def add_super_bucket(batch: pd.DataFrame) -> pd.DataFrame:
-        # group by a coarse super-bucket (bounded group count), then
-        # vectorize over the real band keys inside each group — a
-        # map_groups call per raw band key (~16×docs groups) would be
-        # dominated by per-group invocation overhead
-        batch = batch.copy()
-        batch["gk"] = batch["band_key"] % 4096
-        return batch
+    for _ in range(max_iters):
+        from .join import sized_join
 
-    def star_pairs_vec(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.drop_duplicates(["band_key", "doc_id"]).sort_values(
-            ["band_key", "doc_id"]
+        msgs = sized_join(both, labels, "inner", on=("node",),
+                          requested_partitions=num_partitions).map_batches(
+            lambda b: pd.DataFrame({"node": b["nbr"], "lab": b["label"]}),
+            batch_format="pandas",
         )
-        # star pairs per band bucket: (min doc, other) — O(k) per
-        # bucket, enough to connect components
-        first = g.groupby("band_key")["doc_id"].transform("first")
-        mask = (g["doc_id"] != first).to_numpy()
-        return pd.DataFrame(
-            {"a": first.to_numpy()[mask], "b": g["doc_id"].to_numpy()[mask]}
+        cur = labels.map_batches(
+            lambda b: pd.DataFrame({"node": b["node"], "lab": b["label"]}),
+            batch_format="pandas",
         )
+        labels = min_per_node(msgs.union(cur), "lab").materialize()
+        cs = checksum(labels)
+        if cs == prev:
+            break
+        prev = cs
+    return labels
 
-    from ray.data.aggregate import Count
 
-    cand = (
-        band_rows.map_batches(add_super_bucket, batch_format="pandas")
-        .repartition(32)  # bound the groupby's B^2 shuffle fan-out
-        .groupby("gk")
-        .map_groups(star_pairs_vec, batch_format="pandas")
-    )
-    return _distinct_pairs(cand)
+def attach_component_labels(ids: rd.Dataset, labels: rd.Dataset,
+                            id_col: str = "doc_id",
+                            out_col: str = "cluster_id",
+                            num_partitions: int = 16) -> rd.Dataset:
+    """Left-join component labels back onto the full id column; ids
+    without an edge keep themselves as label."""
+    from .join import sized_join
+
+    out = sized_join(ids, labels, "left_outer", on=(id_col,),
+                     right_on=("node",), requested_partitions=num_partitions)
+
+    def fill(b: pd.DataFrame) -> pd.DataFrame:
+        lab = b["label"].where(b["label"].notna(), b[id_col])
+        return pd.DataFrame({
+            id_col: b[id_col].to_numpy(),
+            out_col: lab.to_numpy().astype(b[id_col].dtype, copy=False)
+            if b[id_col].dtype != object else lab.to_numpy(),
+        })
+
+    return out.map_batches(fill, batch_format="pandas")
+
+
+# ---------- MinHash + LSH ----------
 
 
 class SignatureStage:
@@ -228,24 +344,13 @@ class SignatureStage:
         return pd.DataFrame({self.id_col: keep, "sig": sigs})
 
 
-def minhash_dedup_clusters(ds: rd.Dataset, threshold: float = 0.7, num_perm: int = 64,
-                           num_bands: int = 16, shingle_k: int = 5,
-                           id_col: str = "doc_id", text_col: str = "text",
-                           concurrency: int = 2) -> pd.DataFrame:
-    """Full near-dup pass → (doc_id, cluster_id=min id of its cluster).
-
-    ONE heavy pass over the corpus: per-doc signatures (64 uint64 =
-    512 B/doc) are computed once and materialized (tiny vs the texts);
-    band keys for LSH blocking AND the pair verification (estimated
-    Jaccard = fraction of agreeing signature positions — standard at
-    corpus scale; std ≈ 1/√num_perm) both derive from that table, so
-    the raw text is never re-scanned.  Clustering is driver-side
-    union-find over the verified pairs — valid while candidates fit on
-    the driver; the scale path iterates min-label propagation as a
-    groupby loop instead.
-    """
-    mh = MinHasher(num_perm=num_perm)
-    sig_ds = ds.map_batches(
+def minhash_signature_table(ds: rd.Dataset, num_perm: int = 64, shingle_k: int = 5,
+                            id_col: str = "doc_id", text_col: str = "text",
+                            concurrency: int = 2) -> rd.Dataset:
+    """One heavy pass over the corpus → materialized (id, sig) table
+    (512 B/doc at num_perm=64) that feeds both LSH blocking and pair
+    verification, so raw text is never re-scanned."""
+    return ds.map_batches(
         SignatureStage,
         fn_constructor_kwargs=dict(num_perm=num_perm, shingle_k=shingle_k,
                                    id_col=id_col, text_col=text_col),
@@ -253,62 +358,114 @@ def minhash_dedup_clusters(ds: rd.Dataset, threshold: float = 0.7, num_perm: int
         concurrency=concurrency,
     ).materialize()
 
+
+def _super_buckets(n_rows: int, rows_per_group: int = 50_000,
+                   lo: int = 16, hi: int = 1 << 17) -> int:
+    """Pick the super-bucket count for a bounded-group groupby.
+
+    _within_bucket_pairs is vectorized ACROSS raw buckets inside a
+    group, so fewer/fatter groups are strictly cheaper until a group
+    outgrows worker memory — measured: 4096 near-empty groups cost
+    21 s in per-group overhead where 16 fat ones cost 2 s.  Target
+    ~rows_per_group rows per group, clamped."""
+    return int(max(lo, min(hi, n_rows // rows_per_group + 1)))
+
+
+def minhash_candidates(sig_ds: rd.Dataset, num_perm: int = 64, num_bands: int = 16,
+                       id_col: str = "doc_id", pair_cap: int = 64,
+                       n_super_buckets: int | None = None) -> rd.Dataset:
+    """LSH blocking from the signature table → distinct candidate
+    pairs (a < b).  All within-band pairs for normal buckets (so two
+    near-dups are linked even when neither is the bucket's min id);
+    star pairs for degenerate buckets."""
+    mh = MinHasher(num_perm=num_perm)
+    if n_super_buckets is None:
+        n_super_buckets = _super_buckets(sig_ds.count() * num_bands)
+
     def explode_bands(batch: pd.DataFrame) -> pd.DataFrame:
         sigs = np.stack([np.frombuffer(b, dtype=np.uint64) for b in batch["sig"]]) \
             if len(batch) else np.zeros((0, num_perm), dtype=np.uint64)
         keys = mh.band_keys_matrix(sigs, num_bands) if len(batch) else \
             np.zeros((0, num_bands), dtype=np.uint64)
+        bk = keys.reshape(-1).view(np.int64)
         return pd.DataFrame({
             "doc_id": np.repeat(batch[id_col].to_numpy(), num_bands),
-            "band_key": keys.reshape(-1).view(np.int64),
-            "gk": (keys.reshape(-1).view(np.int64)) % 4096,
+            "band_key": bk,
+            "gk": bk % n_super_buckets,
         })
 
-    def star_pairs_vec(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.drop_duplicates(["band_key", "doc_id"]).sort_values(
-            ["band_key", "doc_id"])
-        first = g.groupby("band_key")["doc_id"].transform("first")
-        mask = (g["doc_id"] != first).to_numpy()
-        return pd.DataFrame(
-            {"a": first.to_numpy()[mask], "b": g["doc_id"].to_numpy()[mask]}
-        )
-
-    from ray.data.aggregate import Count
-
-    cand = _distinct_pairs(
+    cand = (
         sig_ds.map_batches(explode_bands, batch_format="pandas")
         .repartition(32)  # bound the groupby's B^2 shuffle fan-out
         .groupby("gk")
-        .map_groups(star_pairs_vec, batch_format="pandas")
-    ).to_pandas()
-    all_ids = ds.select_columns([id_col]).to_pandas()[id_col]
-    if len(cand) == 0:
-        return pd.DataFrame({id_col: all_ids, "cluster_id": all_ids})
+        .map_groups(
+            lambda g: _within_bucket_pairs(g, "band_key", "doc_id", cap=pair_cap),
+            batch_format="pandas",
+        )
+    )
+    return _distinct_pairs(cand)
 
-    # verification from the signature table (estimated Jaccard)
-    sig_df = sig_ds.to_pandas()
-    sigmap = {i: np.frombuffer(b, dtype=np.uint64)
-              for i, b in zip(sig_df[id_col], sig_df["sig"])}
 
-    parent: dict = {}
+def minhash_cluster_labels(ds: rd.Dataset, threshold: float = 0.7, num_perm: int = 64,
+                           num_bands: int = 16, shingle_k: int = 5,
+                           id_col: str = "doc_id", text_col: str = "text",
+                           concurrency: int = 2, pair_cap: int = 64) -> rd.Dataset:
+    """Full near-dup pass → Dataset (id, cluster_id=min id of its
+    cluster) — every stage distributed:
 
-    def find(x):
-        while parent.get(x, x) != x:
-            parent[x] = parent.get(parent[x], parent[x])
-            x = parent[x]
-        return x
+      signature table (1 corpus pass, materialized)
+      → banded LSH candidates (bounded-bucket groupby)
+      → signature-agreement verify (two hash joins; estimated Jaccard
+        = fraction of agreeing positions, std ≈ 1/√num_perm)
+      → min-label propagation connected components (groupby loop)
+      → left join back onto the corpus ids.
 
-    for a, b in zip(cand["a"], cand["b"]):
-        sa, sb = sigmap.get(a), sigmap.get(b)
-        if sa is None or sb is None:
-            continue
-        if float((sa == sb).mean()) >= threshold:
-            ra, rb = find(a), find(b)
-            if ra != rb:
-                lo, hi = (ra, rb) if ra < rb else (rb, ra)
-                parent[hi] = lo
+    The round-1 driver-side union-find (to_pandas + Python dict of all
+    signatures) is gone; the driver only sees per-round convergence
+    checksums."""
+    sig_ds = minhash_signature_table(ds, num_perm, shingle_k, id_col, text_col,
+                                     concurrency)
+    cand = minhash_candidates(sig_ds, num_perm, num_bands, id_col, pair_cap)
+    if "doc_id" != id_col:
+        sig_feats = sig_ds.map_batches(
+            lambda b: pd.DataFrame({"doc_id": b[id_col], "sig": b["sig"]}),
+            batch_format="pandas",
+        )
+    else:
+        sig_feats = sig_ds
 
-    return pd.DataFrame({id_col: all_ids, "cluster_id": [find(i) for i in all_ids]})
+    def agreement(fa: list, fb: list) -> np.ndarray:
+        A = np.stack([np.frombuffer(x, dtype=np.uint64) for x in fa])
+        B = np.stack([np.frombuffer(x, dtype=np.uint64) for x in fb])
+        return (A == B).mean(axis=1)
+
+    scored = verify_pairs(cand, sig_feats, agreement, id_col="doc_id",
+                          feat_col="sig")
+    edges = scored.map_batches(
+        lambda b: b[b["score"] >= threshold][["a", "b"]] if len(b)
+        else pd.DataFrame({"a": [], "b": []}),
+        batch_format="pandas",
+    ).materialize()
+    ids = ds.select_columns([id_col])
+    if edges.count() == 0:
+        return ids.map_batches(
+            lambda b: pd.DataFrame({id_col: b[id_col], "cluster_id": b[id_col]}),
+            batch_format="pandas",
+        )
+    labels = connected_components_min_label(edges)
+    return attach_component_labels(ids, labels, id_col=id_col)
+
+
+def minhash_dedup_clusters(ds: rd.Dataset, threshold: float = 0.7, num_perm: int = 64,
+                           num_bands: int = 16, shingle_k: int = 5,
+                           id_col: str = "doc_id", text_col: str = "text",
+                           concurrency: int = 2) -> pd.DataFrame:
+    """Collected (small-result) wrapper around
+    :func:`minhash_cluster_labels` — at corpus scale, write the
+    labels Dataset to parquet instead of collecting."""
+    out = minhash_cluster_labels(ds, threshold, num_perm, num_bands, shingle_k,
+                                 id_col, text_col, concurrency)
+    return out.to_pandas().sort_values(id_col).reset_index(drop=True)
 
 
 # ---------- SimHash ----------
@@ -336,11 +493,23 @@ def simhash_signatures(ds: rd.Dataset, concurrency: int = 2) -> rd.Dataset:
     return ds.map_batches(SimHashStage, batch_format="pandas", concurrency=concurrency)
 
 
-def simhash_near_dups(ds: rd.Dataset, max_hamming: int = 3, concurrency: int = 2) -> pd.DataFrame:
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount of a uint64 array."""
+    b = np.ascontiguousarray(x).view(np.uint8).reshape(len(x), 8)
+    return np.unpackbits(b, axis=1).sum(axis=1).astype(np.int64)
+
+
+def simhash_near_dup_pairs(ds: rd.Dataset, max_hamming: int = 3,
+                           concurrency: int = 2, pair_cap: int = 256,
+                           n_super_buckets: int | None = None) -> rd.Dataset:
     """Near-dup pairs by SimHash: 4×16-bit band blocking (pigeonhole:
     any pair with Hamming ≤ 3 shares at least one of 4 bands), verify
-    Hamming on candidates."""
-    sig = simhash_signatures(ds, concurrency)
+    = vectorized XOR + popcount on within-bucket pairs.  Signatures
+    ride along with the band rows so verification happens inside the
+    bucketed groupby — no driver state, no Python pair loops."""
+    sig = simhash_signatures(ds, concurrency).materialize()
+    if n_super_buckets is None:
+        n_super_buckets = _super_buckets(sig.count() * 4)
 
     def explode(batch: pd.DataFrame) -> pd.DataFrame:
         v = np.fromiter(
@@ -352,161 +521,328 @@ def simhash_near_dups(ds: rd.Dataset, max_hamming: int = 3, concurrency: int = 2
             out.append(pd.DataFrame({
                 "doc_id": batch["doc_id"].to_numpy(),
                 "band_key": key.astype(np.int64) * 4 + b,
+                "gk": (key.astype(np.int64) * 4 + b) % n_super_buckets,
                 "sim": v,
             }))
         return pd.concat(out, ignore_index=True)
 
-    def pairs(group: pd.DataFrame) -> pd.DataFrame:
-        rows = []
-        for _, g in group.groupby("band_key"):
-            g = g.drop_duplicates("doc_id").sort_values("doc_id")
-            if len(g) < 2:
-                continue
-            ids = g["doc_id"].to_numpy()
-            sims = g["sim"].to_numpy()
-            for i in range(len(g)):
-                for j in range(i + 1, len(g)):
-                    h = hamming64(int(sims[i]), int(sims[j]))
-                    if h <= 3:
-                        rows.append((ids[i], ids[j], h))
-        return pd.DataFrame(rows, columns=["a", "b", "hamming"])
-
-    def add_super_bucket(batch: pd.DataFrame) -> pd.DataFrame:
-        batch = batch.copy()
-        batch["gk"] = batch["band_key"] % 1024  # bounded group count
-        return batch
+    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        m = _within_bucket_pairs(group, "band_key", "doc_id",
+                                 extra_cols=("sim",), cap=pair_cap)
+        if not len(m):
+            return pd.DataFrame({"a": [], "b": [], "hamming": []})
+        x = m["sim_a"].to_numpy().astype(np.uint64) ^ m["sim_b"].to_numpy().astype(np.uint64)
+        h = _popcount64(x)
+        keep = h <= max_hamming
+        return pd.DataFrame({"a": m["a"].to_numpy()[keep],
+                             "b": m["b"].to_numpy()[keep],
+                             "hamming": h[keep]})
 
     cand = (
         sig.map_batches(explode, batch_format="pandas")
-        .map_batches(add_super_bucket, batch_format="pandas")
+        .repartition(32)
         .groupby("gk")
-        .map_groups(pairs, batch_format="pandas")
+        .map_groups(bucket_pairs, batch_format="pandas")
     )
-    out = cand.to_pandas()
-    if out.empty:  # all-empty groups lose the schema
+    return _distinct_pairs(cand, extra_cols=("hamming",))
+
+
+def simhash_near_dups(ds: rd.Dataset, max_hamming: int = 3, concurrency: int = 2) -> pd.DataFrame:
+    """Collected wrapper around :func:`simhash_near_dup_pairs`."""
+    out = simhash_near_dup_pairs(ds, max_hamming, concurrency).to_pandas()
+    if not len(out):
         return pd.DataFrame({"a": [], "b": [], "hamming": []})
-    out = out.drop_duplicates(["a", "b"]).reset_index(drop=True)
-    return out[out["hamming"] <= max_hamming]
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
 
 
 # ---------- n-gram Jaccard ----------
 
 
-def ngram_jaccard_pairs(ds: rd.Dataset, n: int = 3, threshold: float = 0.5,
-                        id_col: str = "doc_id", text_col: str = "text") -> pd.DataFrame:
-    """Near-dup pairs by word n-gram Jaccard; candidates blocked by
-    shared n-grams (explode → groupby(gram)) so only docs sharing at
-    least one n-gram are ever compared.  The per-doc n-gram HASH sets
-    (one materialized pass) also feed the exact-Jaccard verification —
-    hashing word n-grams instead of materializing their strings is
-    exact for Jaccard up to 64-bit collisions (~n²/2⁶⁴)."""
+def _gram_hashes(text: str, n: int) -> np.ndarray:
+    """Sorted unique 64-bit hashes of a doc's word n-grams — exact for
+    Jaccard up to 64-bit collisions (~n²/2⁶⁴)."""
+    toks = (text or "").lower().split()
+    if not toks:
+        return np.zeros(0, dtype=np.uint64)
+    if len(toks) < n:
+        return np.array([stable_hash64(" ".join(toks))], dtype=np.uint64)
+    tok_h = np.fromiter((stable_hash64(t) for t in toks), dtype=np.uint64,
+                        count=len(toks))
+    with np.errstate(over="ignore"):
+        windows = np.lib.stride_tricks.sliding_window_view(tok_h, n)
+        weights = np.empty(n, dtype=np.uint64)
+        weights[0] = 1
+        for i in range(1, n):
+            weights[i] = weights[i - 1] * _SHINGLE_BASE
+        h = _mix64((windows * weights[None, ::-1]).sum(axis=1, dtype=np.uint64))
+    return np.unique(h)
 
-    def gram_hashes(text: str) -> np.ndarray:
-        toks = (text or "").lower().split()
-        if not toks:
-            return np.zeros(0, dtype=np.uint64)
-        if len(toks) < n:
-            return np.array([stable_hash64(" ".join(toks))], dtype=np.uint64)
-        tok_h = np.fromiter((stable_hash64(t) for t in toks), dtype=np.uint64,
-                            count=len(toks))
-        with np.errstate(over="ignore"):
-            windows = np.lib.stride_tricks.sliding_window_view(tok_h, n)
-            weights = np.empty(n, dtype=np.uint64)
-            weights[0] = 1
-            for i in range(1, n):
-                weights[i] = weights[i - 1] * _SHINGLE_BASE
-            h = _mix64((windows * weights[None, ::-1]).sum(axis=1, dtype=np.uint64))
-        return np.unique(h)
+
+def ngram_feature_table(ds: rd.Dataset, n: int = 3, id_col: str = "doc_id",
+                        text_col: str = "text") -> rd.Dataset:
+    """One pass over the corpus → materialized (id, grams-as-bytes)
+    feature table feeding both blocking and verification."""
+
+    def feats(batch: pd.DataFrame) -> pd.DataFrame:
+        ids, blobs = [], []
+        for i, t in zip(batch[id_col], batch[text_col]):
+            h = _gram_hashes(t, n)
+            if not len(h):
+                continue
+            ids.append(i)
+            blobs.append(h.tobytes())
+        return pd.DataFrame({"doc_id": ids, "grams": blobs})
+
+    return ds.map_batches(feats, batch_format="pandas").materialize()
+
+
+def ngram_jaccard_pair_ds(ds: rd.Dataset, n: int = 3, threshold: float = 0.5,
+                          id_col: str = "doc_id", text_col: str = "text",
+                          pair_cap: int = 64,
+                          n_super_buckets: int | None = None) -> rd.Dataset:
+    """Near-dup pairs by word n-gram Jaccard, end-to-end distributed:
+    candidates blocked by shared grams (explode → bounded-bucket
+    within-gram pairs), verification by exact Jaccard over the
+    materialized gram table via two hash joins — the round-1
+    driver-side {doc → gram set} dict is gone."""
+    feats = ngram_feature_table(ds, n, id_col, text_col)
+    if n_super_buckets is None:
+        # gram rows ≈ docs × tokens/doc; 128 is a fair prior for the
+        # row blow-up — only the group-count order matters here
+        n_super_buckets = _super_buckets(feats.count() * 128)
 
     def explode(batch: pd.DataFrame) -> pd.DataFrame:
         ids, grams = [], []
-        for i, t in zip(batch[id_col], batch[text_col]):
-            h = gram_hashes(t)
+        for i, blob in zip(batch["doc_id"], batch["grams"]):
+            h = np.frombuffer(blob, dtype=np.uint64)
             ids.append(np.full(len(h), i))
             grams.append(h.view(np.int64))
         if not ids:
-            return pd.DataFrame({"doc_id": [], "gram": []})
-        return pd.DataFrame({"doc_id": np.concatenate(ids),
-                             "gram": np.concatenate(grams)})
-
-    def add_super_bucket(batch: pd.DataFrame) -> pd.DataFrame:
-        batch = batch.copy()
-        batch["gk"] = batch["gram"] % 4096
-        return batch
-
-    def star_pairs_vec(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.drop_duplicates(["gram", "doc_id"]).sort_values(["gram", "doc_id"])
-        first = g.groupby("gram")["doc_id"].transform("first")
-        mask = (g["doc_id"] != first).to_numpy()
-        return pd.DataFrame(
-            {"a": first.to_numpy()[mask], "b": g["doc_id"].to_numpy()[mask]}
-        )
-
-    from ray.data.aggregate import Count
+            return pd.DataFrame({"doc_id": [], "gram": [], "gk": []})
+        g = np.concatenate(grams)
+        return pd.DataFrame({"doc_id": np.concatenate(ids), "gram": g,
+                             "gk": g % n_super_buckets})
 
     cand = _distinct_pairs(
-        ds.map_batches(explode, batch_format="pandas")
-        .map_batches(add_super_bucket, batch_format="pandas")
+        feats.map_batches(explode, batch_format="pandas")
         .repartition(32)  # bound the groupby's B^2 shuffle fan-out
         .groupby("gk")
-        .map_groups(star_pairs_vec, batch_format="pandas")
-    ).to_pandas()
-    if len(cand) == 0:
-        return pd.DataFrame({"a": [], "b": [], "jaccard": []})
-    need = set(cand["a"]) | set(cand["b"])
-    ref = ray.put(need)
-
-    def grams_of(batch: pd.DataFrame) -> pd.DataFrame:
-        sub = batch[batch[id_col].isin(ray.get(ref))]
-        return pd.DataFrame(
-            {id_col: sub[id_col],
-             "g": [set(gram_hashes(t).tolist()) for t in sub[text_col]]}
+        .map_groups(
+            lambda g: _within_bucket_pairs(g, "gram", "doc_id", cap=pair_cap),
+            batch_format="pandas",
         )
+    )
 
-    gm = ds.map_batches(grams_of, batch_format="pandas").to_pandas()
-    gmap = dict(zip(gm[id_col], gm["g"]))
-    jac = [jaccard(gmap.get(a, set()), gmap.get(b, set())) for a, b in zip(cand["a"], cand["b"])]
-    cand = cand.assign(jaccard=round_half_up(np.asarray(jac), 6))
-    return cand[cand["jaccard"] >= threshold].reset_index(drop=True)
+    def jac(fa: list, fb: list) -> np.ndarray:
+        out = np.empty(len(fa))
+        for i, (x, y) in enumerate(zip(fa, fb)):
+            A = np.frombuffer(x, dtype=np.uint64)
+            B = np.frombuffer(y, dtype=np.uint64)
+            inter = len(np.intersect1d(A, B, assume_unique=True))
+            out[i] = inter / (len(A) + len(B) - inter) if (len(A) or len(B)) else 0.0
+        return out
+
+    scored = verify_pairs(cand, feats, jac, id_col="doc_id", feat_col="grams")
+
+    def thresh(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            return pd.DataFrame({"a": [], "b": [], "jaccard": []})
+        return pd.DataFrame({
+            "a": b["a"], "b": b["b"],
+            "jaccard": round_half_up(b["score"].to_numpy(), 6),
+        })[b["score"].to_numpy() >= threshold]
+
+    return scored.map_batches(thresh, batch_format="pandas")
+
+
+def ngram_jaccard_pairs(ds: rd.Dataset, n: int = 3, threshold: float = 0.5,
+                        id_col: str = "doc_id", text_col: str = "text") -> pd.DataFrame:
+    """Collected wrapper around :func:`ngram_jaccard_pair_ds`."""
+    out = ngram_jaccard_pair_ds(ds, n, threshold, id_col, text_col).to_pandas()
+    if not len(out):
+        return pd.DataFrame({"a": [], "b": [], "jaccard": []})
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
 
 
 # ---------- embedding cosine ----------
 
 
-def cosine_near_dup_pairs(ds: rd.Dataset, threshold: float = 0.95,
-                          id_col: str = "vec_id", vec_col: str = "embedding") -> pd.DataFrame:
-    """All pairs (a<b) with cosine ≥ threshold.
+def cosine_pairs_blocked(ds: rd.Dataset, threshold: float = 0.95,
+                         id_col: str = "vec_id", vec_col: str = "embedding",
+                         n_blocks: int = 8, chunk: int = 1024) -> rd.Dataset:
+    """EXACT all-pairs cosine ≥ threshold, distributed: hash rows into
+    ``n_blocks`` row-blocks, replicate each row to the block-pair
+    groups it participates in, chunked GEMM per group.
 
-    Small/medium corpora: broadcast the full (normalized) matrix once,
-    per-batch matmul against it — each batch does a (B×d)·(d×N) GEMM.
-    The scale path is sign-LSH bucketing (cosine_lsh_buckets) to keep N
-    per bucket bounded.
-    """
-    full = ds.select_columns([id_col, vec_col]).to_pandas()
-    ids = full[id_col].to_numpy()
-    M = np.stack(full[vec_col].to_numpy()).astype(np.float64)
-    norms = np.linalg.norm(M, axis=1, keepdims=True)
-    norms[norms == 0] = 1.0
-    Mn = M / norms
-    mat_ref = ray.put((ids, Mn))
+    Shuffle volume is ×n_blocks the embedding table (never the
+    driver); group count is bounded at n_blocks(n_blocks+1)/2.  This
+    is the exact baseline — compute is O(N²) by definition; at corpus
+    scale use :func:`cosine_lsh_pair_ds` (banded sign-LSH candidates +
+    exact verify) instead."""
 
-    def batch_pairs(batch: pd.DataFrame) -> pd.DataFrame:
-        all_ids, Mn_ = ray.get(mat_ref)
-        bids = batch[id_col].to_numpy()
-        B = np.stack(batch[vec_col].to_numpy()).astype(np.float64)
-        bn = np.linalg.norm(B, axis=1, keepdims=True)
-        bn[bn == 0] = 1.0
-        S = (B / bn) @ Mn_.T
-        bi, gj = np.nonzero(S >= threshold)
-        a, b = bids[bi], all_ids[gj]
-        keep = a < b
-        return pd.DataFrame(
-            {"a": a[keep], "b": b[keep], "cosine": round_half_up(S[bi, gj][keep], 6)}
-        )
+    def replicate(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            return pd.DataFrame({"grp": [], id_col: [], "src": [], "vecb": []})
+        ids = b[id_col].to_numpy()
+        g = (_id_hash(ids) % np.uint64(n_blocks)).astype(np.int64)
+        M = np.stack([np.asarray(v, dtype=np.float64) for v in b[vec_col]])
+        nrm = np.linalg.norm(M, axis=1, keepdims=True)
+        nrm[nrm == 0] = 1.0
+        M = M / nrm  # float64: float32 truncation shifts the 6th decimal
+        blobs = [row.tobytes() for row in M]
+        out = []
+        for p in range(n_blocks):
+            gi = np.minimum(g, p)
+            gj = np.maximum(g, p)
+            out.append(pd.DataFrame({
+                "grp": gi * n_blocks + gj, id_col: ids, "src": g, "vecb": blobs,
+            }))
+        return pd.concat(out, ignore_index=True)
+
+    def gemm(group: pd.DataFrame) -> pd.DataFrame:
+        grp = int(group["grp"].iloc[0])
+        gi, gj = divmod(grp, n_blocks)
+        A = group[group["src"] == gi]
+        if not len(A):
+            return pd.DataFrame({"a": [], "b": [], "cosine": []})
+        ida = A[id_col].to_numpy()
+        MA = np.stack([np.frombuffer(v, dtype=np.float64) for v in A["vecb"]])
+        if gi == gj:
+            idb, MB = ida, MA
+        else:
+            B = group[group["src"] == gj]
+            if not len(B):
+                return pd.DataFrame({"a": [], "b": [], "cosine": []})
+            idb = B[id_col].to_numpy()
+            MB = np.stack([np.frombuffer(v, dtype=np.float64) for v in B["vecb"]])
+        outs = []
+        for s in range(0, len(ida), chunk):
+            S = MA[s:s + chunk] @ MB.T
+            hit = S >= threshold
+            if gi == gj:
+                # only strictly-upper pairs (global index order)
+                ii, jj = np.nonzero(hit)
+                keep = (s + ii) < jj
+                ii, jj = ii[keep], jj[keep]
+            else:
+                ii, jj = np.nonzero(hit)
+            if len(ii):
+                a, b = ida[s + ii], idb[jj]
+                lo, hi = np.minimum(a, b), np.maximum(a, b)
+                outs.append(pd.DataFrame({
+                    "a": lo, "b": hi,
+                    "cosine": round_half_up(S[ii, jj], 6),
+                }))
+        if not outs:
+            return pd.DataFrame({"a": [], "b": [], "cosine": []})
+        return pd.concat(outs, ignore_index=True)
 
     return (
-        ds.map_batches(batch_pairs, batch_format="pandas", batch_size=512)
-        .to_pandas()
-        .sort_values(["a", "b"])
-        .reset_index(drop=True)
+        ds.select_columns([id_col, vec_col])
+        .map_batches(replicate, batch_format="pandas")
+        .groupby("grp")
+        .map_groups(gemm, batch_format="pandas")
     )
+
+
+def cosine_near_dup_pairs(ds: rd.Dataset, threshold: float = 0.95,
+                          id_col: str = "vec_id", vec_col: str = "embedding",
+                          n_blocks: int = 8) -> pd.DataFrame:
+    """Collected wrapper around :func:`cosine_pairs_blocked` (exact)."""
+    out = cosine_pairs_blocked(ds, threshold, id_col, vec_col, n_blocks).to_pandas()
+    if not len(out):
+        return pd.DataFrame({"a": [], "b": [], "cosine": []})
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+def cosine_lsh_buckets(ds: rd.Dataset, n_bits: int = 10, n_bands: int = 40,
+                       id_col: str = "vec_id", vec_col: str = "embedding",
+                       seed: int = 11) -> rd.Dataset:
+    """Banded sign-LSH bucket rows (id, band, bucket) — the scale path
+    for cosine near-dup blocking.  Per band: ``n_bits`` random
+    hyperplane signs → bucket id.  A pair at cosine c collides in one
+    band w.p. (1−θ/π)^n_bits; across bands miss prob is
+    (1−p)^n_bands — with the defaults, < 1e-7 at c ≥ 0.95."""
+    import ray
+
+    from .similarity import _hyperplanes, _normalize
+
+    # one plane matrix for all bands, broadcast once
+    dim = len(ds.take(1)[0][vec_col])
+    planes = _hyperplanes(dim, n_bits * n_bands, seed)
+    p_ref = ray.put(planes)
+
+    def buckets(b: pd.DataFrame) -> pd.DataFrame:
+        P = ray.get(p_ref)
+        M = _normalize(np.stack([np.asarray(v, dtype=np.float64) for v in b[vec_col]]))
+        bits = (M @ P.T) > 0  # (B, n_bits*n_bands)
+        ids = b[id_col].to_numpy()
+        out = []
+        pw = (1 << np.arange(n_bits)).astype(np.int64)
+        for band in range(n_bands):
+            key = bits[:, band * n_bits:(band + 1) * n_bits] @ pw
+            out.append(pd.DataFrame({
+                id_col: ids, "band": band, "bucket": key * n_bands + band,
+            }))
+        return pd.concat(out, ignore_index=True)
+
+    return ds.select_columns([id_col, vec_col]).map_batches(
+        buckets, batch_format="pandas")
+
+
+def cosine_lsh_pair_ds(ds: rd.Dataset, threshold: float = 0.95, n_bits: int = 10,
+                       n_bands: int = 40, id_col: str = "vec_id",
+                       vec_col: str = "embedding", seed: int = 11,
+                       pair_cap: int = 128,
+                       n_super_buckets: int | None = None) -> rd.Dataset:
+    """Scale-path cosine near-dup: banded sign-LSH candidates →
+    exact-cosine verify via two hash joins.  Approximate only in
+    candidate recall (miss < 1e-7 at the defaults for c ≥ 0.95); every
+    emitted pair's cosine is exact."""
+    rows = cosine_lsh_buckets(ds, n_bits, n_bands, id_col, vec_col, seed)
+    if n_super_buckets is None:
+        n_super_buckets = _super_buckets(ds.count() * n_bands)
+
+    def add_gk(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["gk"] = b["bucket"] % n_super_buckets
+        return b
+
+    cand = _distinct_pairs(
+        rows.map_batches(add_gk, batch_format="pandas")
+        .repartition(32)
+        .groupby("gk")
+        .map_groups(
+            lambda g: _within_bucket_pairs(g, "bucket", id_col, cap=pair_cap),
+            batch_format="pandas",
+        )
+    )
+
+    def vec_feats(b: pd.DataFrame) -> pd.DataFrame:
+        M = np.stack([np.asarray(v, dtype=np.float64) for v in b[vec_col]]) \
+            if len(b) else np.zeros((0, 1))
+        nrm = np.linalg.norm(M, axis=1, keepdims=True)
+        nrm[nrm == 0] = 1.0
+        M = M / nrm  # float64: float32 truncation shifts the 6th decimal
+        return pd.DataFrame({"doc_id": b[id_col].to_numpy(),
+                             "vecb": [r.tobytes() for r in M]})
+
+    feats = ds.select_columns([id_col, vec_col]).map_batches(
+        vec_feats, batch_format="pandas").materialize()
+
+    def cos(fa: list, fb: list) -> np.ndarray:
+        A = np.stack([np.frombuffer(x, dtype=np.float64) for x in fa])
+        B = np.stack([np.frombuffer(x, dtype=np.float64) for x in fb])
+        return (A * B).sum(axis=1)
+
+    scored = verify_pairs(cand, feats, cos, id_col="doc_id", feat_col="vecb")
+
+    def thresh(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            return pd.DataFrame({"a": [], "b": [], "cosine": []})
+        return pd.DataFrame({
+            "a": b["a"], "b": b["b"],
+            "cosine": round_half_up(b["score"].to_numpy(), 6),
+        })[b["score"].to_numpy() >= threshold]
+
+    return scored.map_batches(thresh, batch_format="pandas")

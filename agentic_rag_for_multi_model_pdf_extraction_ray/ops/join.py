@@ -95,6 +95,37 @@ def asof_join_broadcast(
     return left.map_batches(per_batch, batch_format="pandas")
 
 
+def sized_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    join_type: str,
+    on: tuple,
+    right_on: tuple | None = None,
+    requested_partitions: int = 16,
+) -> rd.Dataset:
+    """``Dataset.join`` with cluster-aware sizing.
+
+    Ray's hash-shuffle join reserves ~50% of cluster CPUs for its
+    aggregator actors BY DEFAULT — two joins in one pipeline (e.g.
+    ``verify_pairs``'s pair⋈feature double join) then starve the map
+    tasks and deadlock on small sessions.  Cap partitions at
+    ``cpus // 2`` and size each aggregator so one join's pool takes
+    ≤25% of the cluster."""
+    cpus = 8
+    if ray.is_initialized():
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    n = max(2, min(requested_partitions, cpus // 2))
+    agg_cpus = min(1.0, max(0.25, cpus / (n * 4)))
+    return left.join(
+        right,
+        join_type=join_type,
+        num_partitions=n,
+        on=on,
+        right_on=right_on,
+        aggregator_ray_remote_args={"num_cpus": agg_cpus},
+    )
+
+
 def shuffle_join(
     left: rd.Dataset,
     right: rd.Dataset,
@@ -104,10 +135,11 @@ def shuffle_join(
     num_partitions: int = 32,
 ) -> rd.Dataset:
     """Large⋈large hash-partitioned join (both sides shuffled)."""
-    return left.join(
+    return sized_join(
+        left,
         right,
-        join_type=join_type,
-        num_partitions=num_partitions,
+        join_type,
         on=(on,),
         right_on=(right_on,) if right_on else None,
+        requested_partitions=num_partitions,
     )

@@ -1,0 +1,140 @@
+"""Distributed dedup machinery: connected components vs a union-find
+oracle, blocked exact cosine vs numpy brute force, LSH candidate
+recall, generic (string) ids, within-bucket pair generation."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from agentic_rag_for_multi_model_pdf_extraction_ray.ops.dedup import (
+    _distinct_pairs,
+    _within_bucket_pairs,
+    connected_components_min_label,
+    cosine_lsh_pair_ds,
+    cosine_near_dup_pairs,
+    minhash_dedup_clusters,
+    ngram_jaccard_pairs,
+    simhash_near_dups,
+)
+
+
+def _union_find_components(edges, nodes):
+    """Driver-side oracle: min-id label per connected component."""
+    parent = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return {n: find(n) for n in nodes}
+
+
+def test_connected_components_matches_union_find():
+    rng = np.random.RandomState(7)
+    # several chains + stars + singleton-free edge soup
+    edges = []
+    for base in range(0, 60, 10):
+        chain = list(range(base, base + 7))
+        edges += list(zip(chain, chain[1:]))          # diameter-6 chains
+    edges += [(100, x) for x in range(101, 110)]       # star
+    extra = rng.randint(200, 260, size=(30, 2))
+    edges += [tuple(sorted(e)) for e in extra if e[0] != e[1]]
+    nodes = sorted({x for e in edges for x in e})
+
+    eds = rd.from_pandas(pd.DataFrame(edges, columns=["a", "b"]))
+    got = connected_components_min_label(eds).to_pandas()
+    want = _union_find_components(edges, nodes)
+    gm = dict(zip(got["node"], got["label"]))
+    assert gm == want
+
+
+def test_within_bucket_pairs_all_and_star():
+    g = pd.DataFrame({
+        "bk": [1, 1, 1, 2, 2, 3] + [9] * 10,
+        "id": [3, 1, 2, 5, 4, 9] + list(range(20, 30)),
+    })
+    out = _within_bucket_pairs(g, "bk", "id", cap=5)
+    pairs = set(zip(out["a"], out["b"]))
+    # bucket 1: all pairs; bucket 2: the pair; bucket 3: none
+    assert {(1, 2), (1, 3), (2, 3), (4, 5)} <= pairs
+    # bucket 9 exceeds cap → star pairs against min id 20 only
+    star = {p for p in pairs if p[0] == 20}
+    assert len(star) == 9
+    assert not {p for p in pairs if p[0] > 20 and p[1] > 20 and p[0] >= 20}
+
+
+def test_distinct_pairs_string_ids():
+    cand = rd.from_pandas(pd.DataFrame({
+        "a": ["d1", "d1", "d2", "d1"],
+        "b": ["d2", "d2", "d9", "d3"],
+    }))
+    out = _distinct_pairs(cand).to_pandas()
+    assert set(zip(out["a"], out["b"])) == {("d1", "d2"), ("d2", "d9"), ("d1", "d3")}
+
+
+def test_minhash_clusters_string_ids():
+    base = "the quick brown fox jumps over the lazy dog " * 5
+    rows = [
+        {"doc_id": "b-doc", "text": base},
+        {"doc_id": "a-doc", "text": base + "tail"},
+        {"doc_id": "z-doc", "text": "entirely unrelated content about pipelines " * 5},
+    ]
+    out = minhash_dedup_clusters(rd.from_pandas(pd.DataFrame(rows)), threshold=0.6)
+    m = dict(zip(out["doc_id"], out["cluster_id"]))
+    assert m["a-doc"] == m["b-doc"] == "a-doc"
+    assert m["z-doc"] == "z-doc"
+
+
+def test_cosine_blocked_matches_numpy_bruteforce():
+    rng = np.random.RandomState(3)
+    M = rng.normal(size=(120, 16))
+    # plant near-dups
+    M[50] = M[10] + 0.01 * rng.normal(size=16)
+    M[51] = M[10] + 0.02 * rng.normal(size=16)
+    rows = [{"vec_id": i, "embedding": M[i].tolist()} for i in range(len(M))]
+    thr = 0.6
+    got = cosine_near_dup_pairs(rd.from_pandas(pd.DataFrame(rows)).repartition(5),
+                                threshold=thr, n_blocks=4)
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    S = Mn @ Mn.T
+    ii, jj = np.nonzero(np.triu(S >= thr, k=1))
+    want = set(zip(ii.tolist(), jj.tolist()))
+    assert set(zip(got["a"], got["b"])) == want
+
+
+def test_cosine_lsh_recall_at_high_threshold():
+    rng = np.random.RandomState(5)
+    M = rng.normal(size=(150, 32))
+    for i in range(10):  # ten planted near-dup pairs
+        M[100 + i] = M[i] + 0.05 * rng.normal(size=32)
+    rows = [{"vec_id": i, "embedding": M[i].tolist()} for i in range(len(M))]
+    ds = rd.from_pandas(pd.DataFrame(rows)).repartition(4)
+    thr = 0.95
+    got = cosine_lsh_pair_ds(ds, threshold=thr).to_pandas()
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    S = Mn @ Mn.T
+    ii, jj = np.nonzero(np.triu(S >= thr, k=1))
+    want = set(zip(ii.tolist(), jj.tolist()))
+    assert want, "test setup must plant pairs above threshold"
+    assert set(zip(got["a"], got["b"])) == want  # miss prob < 1e-7 per pair
+
+
+def test_simhash_and_ngram_return_dataset_backed_results():
+    base = " ".join(f"w{i} w{i}" for i in range(80))
+    rows = [
+        {"doc_id": 1, "text": base},
+        {"doc_id": 2, "text": base + " qq"},
+        {"doc_id": 3, "text": "nothing in common with those documents at all " * 6},
+    ]
+    pairs = simhash_near_dups(rd.from_pandas(pd.DataFrame(rows)))
+    assert (1, 2) in set(zip(pairs["a"], pairs["b"]))
+    j = ngram_jaccard_pairs(rd.from_pandas(pd.DataFrame(rows)), n=3, threshold=0.3)
+    assert (1, 2) in set(zip(j["a"], j["b"]))
