@@ -714,6 +714,52 @@ def _q_knn_lsh(sf_dir: str):
     return knn_lsh(ds, q, k=10, n_bits=6, n_probes=1)
 
 
+def _q_knn_store(sf_dir: str):
+    """Top-10 via the PERSISTED bucket-partitioned sign-LSH index
+    (ops/similarity.build_lsh_index_store / query_lsh_index): the
+    query reads ONLY the probed buckets' parquet files — the
+    reference's ANN-index probe (store.py:91-99) as partition pruning.
+    Approximate by design (multiprobe recall), hence rows-only; the
+    exactness oracle is q_knn, and tests/test_index_store.py asserts
+    both the pruning (files_read < buckets_total) and full-probe
+    equality with brute force."""
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from agentic_rag_for_multi_model_pdf_extraction_ray.ops.similarity import (
+        build_lsh_index_store,
+        query_lsh_index,
+    )
+    from agentic_rag_for_multi_model_pdf_extraction_ray.sources.corpus import read_table
+
+    emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    q = np.array(emb.filter(pc.equal(emb["vec_id"], 0))["embedding"].to_pylist()[0])
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    idx = "/tmp/graft_knn_index"
+    shutil.rmtree(idx, ignore_errors=True)
+    build_lsh_index_store(ds, idx, n_bits=4)
+    hits, stats = query_lsh_index(idx, q, k=10, n_probes=2, exclude_ids={0})
+    assert stats["files_read"] < stats["buckets_total"], "no pruning happened"
+    return hits
+
+
+def _q_cosine_pairs_lsh(sf_dir: str):
+    """Scale-path cosine near-dup: banded sign-LSH candidates +
+    exact-cosine verify (ops/dedup.cosine_lsh_pair_ds).  Approximate
+    only in candidate recall (<1e-7 miss at cosine ≥0.95); rows-only —
+    the exact oracle is q_cosine_pairs' blocked all-pairs."""
+    from agentic_rag_for_multi_model_pdf_extraction_ray.ops.dedup import (
+        cosine_lsh_pair_ds,
+    )
+    from agentic_rag_for_multi_model_pdf_extraction_ray.sources.corpus import read_table
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = cosine_lsh_pair_ds(ds, threshold=0.95).to_pandas()
+    return out.sort_values(["a", "b"]).reset_index(drop=True) if len(out) \
+        else pd.DataFrame({"a": [], "b": [], "cosine": []})
+
+
 def _q_validated_chunks(sf_dir: str):
     """Checkpoint A over extracted chunks + A2 outcome counters
     (reference pipeline.py:255-319 accept/correct/discard loop)."""
@@ -799,6 +845,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_simhash": _q_simhash,
         "q_ngram_jaccard": _q_ngram_jaccard,
         "q_knn_lsh": _q_knn_lsh,
+        "q_knn_store": _q_knn_store,
+        "q_cosine_pairs_lsh": _q_cosine_pairs_lsh,
         "q_validated_chunks": _q_validated_chunks,
         "q_classified_spans": _q_classified_spans,
         "q_media_features": _q_media_features,

@@ -151,6 +151,93 @@ def knn_lsh(ds: rd.Dataset, query_vec: np.ndarray, k: int = 10, n_bits: int = 8,
     return knn_bruteforce(cand, query_vec, k, id_col, vec_col)
 
 
+# ---------- persisted bucket-partitioned index ----------
+
+
+def build_lsh_index_store(ds: rd.Dataset, index_dir: str, n_bits: int = 6,
+                          id_col: str = "vec_id", vec_col: str = "embedding",
+                          seed: int = 11) -> list[dict]:
+    """PERSIST the sign-LSH index: write the vector table partitioned
+    by bucket (``part=<bucket>/data.parquet`` + per-partition manifest,
+    the same atomic machinery as the extraction sink) plus an
+    ``_INDEX.json`` describing (dim, n_bits, seed).
+
+    A query then reads ONLY the probed buckets' files — the
+    reference's real capability (ChromaDB ANN probe,
+    ``/root/reference/src/core/store.py:91-99``) expressed as
+    partition pruning instead of a server."""
+    import json
+    import os
+
+    from ..state.manifest import write_partition
+
+    dim = len(ds.take(1)[0][vec_col])
+    indexed = build_lsh_index(ds, dim, n_bits, id_col, vec_col, seed)
+
+    import pyarrow as pa
+
+    def write_group(group: pa.Table) -> pa.Table:
+        part = int(group.column("bucket")[0].as_py())
+        data = group.drop_columns(["bucket"]).sort_by(id_col)
+        m = write_partition(index_dir, part, data, f"rows={data.num_rows}")
+        return pa.Table.from_pylist([{"part": part, "rows": data.num_rows,
+                                      "status": m["status"]}])
+
+    out = (
+        indexed.groupby("bucket")
+        .map_groups(write_group, batch_format="pyarrow")
+        .take_all()  # tiny: one row per non-empty bucket
+    )
+    os.makedirs(index_dir, exist_ok=True)
+    with open(os.path.join(index_dir, "_INDEX.json"), "w") as f:
+        json.dump({"dim": dim, "n_bits": n_bits, "seed": seed,
+                   "id_col": id_col, "vec_col": vec_col}, f)
+    return out
+
+
+def query_lsh_index(index_dir: str, query_vec: np.ndarray, k: int = 10,
+                    n_probes: int = 2, exclude_ids: set | None = None,
+                    filter_fn=None):
+    """Top-k against a persisted LSH index, reading ONLY probed
+    buckets' parquet files (multiprobe: all buckets within Hamming
+    ``n_probes`` of the query's bucket).
+
+    Returns ``(hits, stats)`` where stats records exactly which files
+    were read — the partition-pruning evidence."""
+    import json
+    import os
+
+    with open(os.path.join(index_dir, "_INDEX.json")) as f:
+        meta = json.load(f)
+    n_bits, seed = meta["n_bits"], meta["seed"]
+    q = np.asarray(query_vec, dtype=np.float64)
+    q = q / (np.linalg.norm(q) or 1.0)
+    planes = _hyperplanes(meta["dim"], n_bits, seed)
+    qb = int(lsh_bucket_ids(q[None, :], planes)[0])
+    probe = {qb}
+    for _ in range(n_probes):
+        probe |= {b ^ (1 << i) for b in list(probe) for i in range(n_bits)}
+
+    files = []
+    for b in sorted(probe):
+        path = os.path.join(index_dir, f"part={b}", "data.parquet")
+        if os.path.isfile(path):
+            files.append(path)
+    stats = {
+        "buckets_total": 1 << n_bits,
+        "buckets_probed": len(probe),
+        "files_read": len(files),
+    }
+    if not files:
+        return pd.DataFrame({meta["id_col"]: [], "score": []}), stats
+    cand = rd.read_parquet(files)
+    if filter_fn is not None:
+        cand = cand.map_batches(filter_fn, batch_format="pandas")
+    hits = knn_bruteforce(cand, query_vec, k, meta["id_col"], meta["vec_col"],
+                          exclude_ids=exclude_ids)
+    return hits, stats
+
+
 def retrieval_with_figure_boost(hits: pd.DataFrame, figure_hits: pd.DataFrame,
                                 text_col: str = "text") -> pd.DataFrame:
     """Reference J2 (orchestrator.py:120-127): union of general top-k

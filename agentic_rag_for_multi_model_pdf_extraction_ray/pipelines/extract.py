@@ -117,8 +117,9 @@ class PackingPayloadParser:
             batch.column("doc_id").to_pylist(), batch.column("payload").to_pylist()
         ):
             spans = parse_payload(payload)
-            if not spans:
-                continue
+            # zero-span docs are EMITTED with an empty span list (not
+            # dropped) so the output accounts for every input doc —
+            # the 100%-lineage claim is auditable from the data alone
             parts.append(stable_bucket(doc_id, self.n_partitions))
             ids.append(doc_id)
             for s in spans:
@@ -173,30 +174,37 @@ class PartitionWriter:
     emit its manifest row.  Accepts either span rows (packs them here)
     or already-packed (doc_id, spans) rows from PackingPayloadParser."""
 
-    def __init__(self, out_dir: str) -> None:
+    def __init__(self, out_dir: str, layout: dict | None = None) -> None:
         self.out_dir = out_dir
+        self.layout = layout
 
     def __call__(self, group: pa.Table) -> pa.Table:
         part = int(group.column("part")[0].as_py())
+        n_empty = 0
         if "spans" in group.column_names:  # packed rows
             packed = group.drop_columns(["part"]).sort_by("doc_id")
             flat = packed.column("spans").combine_chunks().flatten()
             n_spans = len(flat)
             text_bytes = int(pc.sum(pc.binary_length(flat.field("text"))).as_py() or 0)
+            n_empty = int(pc.sum(pc.equal(
+                pc.list_value_length(packed.column("spans")), 0)).as_py() or 0)
         else:  # span rows
             packed = pack_partition(group.drop_columns(["part"]))
             n_spans = int(group.num_rows)
             text_bytes = int(
                 pc.sum(pc.binary_length(group.column("text"))).as_py() or 0
             )
-        fingerprint = f"docs={packed.num_rows};spans={n_spans};text_bytes={text_bytes}"
-        m = write_partition(self.out_dir, part, packed, fingerprint)
+        fingerprint = (f"docs={packed.num_rows};spans={n_spans};"
+                       f"text_bytes={text_bytes};empty_docs={n_empty}")
+        m = write_partition(self.out_dir, part, packed, fingerprint,
+                            layout=self.layout)
         return pa.Table.from_pylist(
             [
                 {
                     "part": part,
                     "num_docs": m["num_docs"],
                     "num_spans": n_spans,
+                    "num_docs_empty": n_empty,
                     "fingerprint": fingerprint,
                 }
             ]
@@ -278,7 +286,11 @@ def run_extraction(
     flow needs when other per-span stages sit between parse and
     write).
     """
-    done = completed_partitions(out_dir)
+    layout = {"n_partitions": n_partitions, "packed": bool(packed)}
+    from ..state.manifest import check_layout
+
+    check_layout(out_dir, layout)  # refuse to mix partition schemes
+    done = completed_partitions(out_dir, expect_layout=layout)
     if done:
         done_arr = np.array(sorted(done), dtype=np.int64)
 
@@ -307,7 +319,7 @@ def run_extraction(
         )
     else:
         rows = parse_to_span_rows(raw_ds, n_partitions, batch_size, parse_c, bucketed)
-    writer = PartitionWriter(out_dir)
+    writer = PartitionWriter(out_dir, layout=layout)
 
     def write_group(group: pa.Table) -> pa.Table:
         return writer(group)
@@ -343,6 +355,9 @@ def run_extraction(
                     "partitions_skipped_resume": len(done),
                     "num_docs": n_docs,
                     "num_spans": sum(m["num_spans"] for m in manifests),
+                    "num_docs_empty": sum(
+                        m.get("num_docs_empty", 0) or 0 for m in manifests
+                    ),
                     "docs_per_sec": round(n_docs / wall, 1) if wall > 0 else None,
                     "n_partitions": n_partitions,
                     "batch_size": batch_size,

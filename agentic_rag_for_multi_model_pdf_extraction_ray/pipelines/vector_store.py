@@ -15,14 +15,18 @@ as partitioned idempotent parquet (S6/S7,
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
 import ray.data as rd
 
 from ..functions.hashing import stable_bucket
 from ..stages.embed import HashingEmbedder, embed
-from ..state.manifest import read_output, write_partition
+from ..state.manifest import partition_dir, read_output, write_partition
 
 
 def upsert_chunks(chunks: rd.Dataset, store_dir: str, dim: int = 384,
@@ -39,6 +43,19 @@ def upsert_chunks(chunks: rd.Dataset, store_dir: str, dim: int = 384,
     def write_group(group: pa.Table) -> pa.Table:
         part = int(group.column("part")[0].as_py())
         data = group.drop_columns(["part"]).sort_by("chunk_id")
+        # upsert-by-id (reference store.py:71-76): keep existing rows
+        # whose chunk_id is NOT incoming — a partial re-ingest (one
+        # updated document) must not delete other documents' chunks
+        # that hash into the same partition
+        existing = os.path.join(partition_dir(store_dir, part), "data.parquet")
+        if os.path.isfile(existing):
+            old = pq.read_table(existing)
+            mask = pc.invert(pc.is_in(
+                old["chunk_id"], value_set=data["chunk_id"].combine_chunks()))
+            keep = old.filter(mask)
+            if keep.num_rows:
+                data = pa.concat_tables(
+                    [keep.select(data.column_names), data]).sort_by("chunk_id")
         m = write_partition(store_dir, part, data, f"rows={data.num_rows}")
         return pa.Table.from_pylist([{"part": part, "rows": data.num_rows,
                                       "status": m["status"]}])
@@ -52,17 +69,38 @@ def upsert_chunks(chunks: rd.Dataset, store_dir: str, dim: int = 384,
     )
 
 
+def build_store_index(store_dir: str, index_dir: str, n_bits: int = 6,
+                      seed: int = 11) -> list[dict]:
+    """Persist a sign-LSH index of the chunk store, partitioned by
+    bucket, so queries read only probed buckets' files."""
+    from ..ops.similarity import build_lsh_index_store
+
+    ds = rd.from_arrow(read_output(store_dir))
+    return build_lsh_index_store(ds, index_dir, n_bits=n_bits,
+                                 id_col="chunk_id", vec_col="embedding",
+                                 seed=seed)
+
+
 def query_store(store_dir: str, question: str, top_k: int = 8,
-                dim: int = 384, kind: str | None = None) -> pd.DataFrame:
-    """Top-k retrieval against a stored vector table."""
+                dim: int = 384, kind: str | None = None,
+                index_dir: str | None = None, n_probes: int = 2) -> pd.DataFrame:
+    """Top-k retrieval against a stored vector table.
+
+    With ``index_dir`` (built by :func:`build_store_index`) the query
+    reads only the probed LSH buckets' parquet files (approximate —
+    recall governed by n_bits/n_probes); otherwise exact brute force
+    over the full store."""
+    qv = HashingEmbedder(dim=dim)._encode(question)
+    from ..ops.similarity import knn_bruteforce, query_lsh_index
+
+    if index_dir is not None:
+        filt = (lambda b: b[b["kind"] == kind]) if kind is not None else None
+        hits, _ = query_lsh_index(index_dir, np.asarray(qv), k=top_k,
+                                  n_probes=n_probes, filter_fn=filt)
+        return hits
     table = read_output(store_dir)
     ds = rd.from_arrow(table)
     if kind is not None:
-        import pyarrow.compute as pc
-
         ds = rd.from_arrow(table.filter(pc.equal(table["kind"], kind)))
-    qv = HashingEmbedder(dim=dim)._encode(question)
-    from ..ops.similarity import knn_bruteforce
-
     return knn_bruteforce(ds, np.asarray(qv), k=top_k, id_col="chunk_id",
                           vec_col="embedding")

@@ -37,11 +37,11 @@ def partition_dir(out_dir: str, part: int) -> str:
     return os.path.join(out_dir, f"part={part}")
 
 
-def completed_partitions(out_dir: str) -> set[int]:
-    """Partitions whose manifest exists and passes the self-check."""
-    done: set[int] = set()
+def read_manifests(out_dir: str) -> dict[int, dict]:
+    """All parseable partition manifests, keyed by partition id."""
+    out: dict[int, dict] = {}
     if not os.path.isdir(out_dir):
-        return done
+        return out
     for name in os.listdir(out_dir):
         if not name.startswith("part="):
             continue
@@ -50,15 +50,45 @@ def completed_partitions(out_dir: str) -> set[int]:
             continue
         try:
             with open(mpath) as f:
-                m = json.load(f)
-            if m.get("status") == "complete":
-                done.add(int(name.split("=", 1)[1]))
+                out[int(name.split("=", 1)[1])] = json.load(f)
         except (ValueError, OSError):
             continue
+    return out
+
+
+def completed_partitions(out_dir: str, expect_layout: dict | None = None) -> set[int]:
+    """Partitions whose manifest exists and passes the self-check.
+
+    With ``expect_layout``, a complete manifest whose recorded layout
+    DIFFERS is not counted (resuming across a changed n_partitions
+    would silently skip old-layout partitions and drop/duplicate
+    documents); manifests without a layout (legacy) are accepted."""
+    done: set[int] = set()
+    for part, m in read_manifests(out_dir).items():
+        if m.get("status") != "complete":
+            continue
+        if expect_layout is not None and m.get("layout") is not None \
+                and m["layout"] != expect_layout:
+            continue
+        done.add(part)
     return done
 
 
-def write_partition(out_dir: str, part: int, table: pa.Table, fingerprint: str) -> dict:
+def check_layout(out_dir: str, layout: dict) -> None:
+    """Refuse to mix output layouts in one directory: raise if any
+    existing complete manifest records a DIFFERENT layout."""
+    for part, m in read_manifests(out_dir).items():
+        got = m.get("layout")
+        if m.get("status") == "complete" and got is not None and got != layout:
+            raise ValueError(
+                f"{out_dir} holds partitions written with layout {got}, "
+                f"but this run uses {layout}; writing both would mix "
+                f"partition schemes — clear the directory or match the layout"
+            )
+
+
+def write_partition(out_dir: str, part: int, table: pa.Table, fingerprint: str,
+                    layout: dict | None = None) -> dict:
     """Atomically write one partition's data + manifest.
 
     Write to a tmp sibling then ``os.replace``-rename into place, so a
@@ -77,6 +107,8 @@ def write_partition(out_dir: str, part: int, table: pa.Table, fingerprint: str) 
         "wall_sec": round(time.perf_counter() - t0, 4),
         "written_at": time.time(),
     }
+    if layout is not None:
+        manifest["layout"] = layout
     with open(os.path.join(tmp, MANIFEST_NAME), "w") as f:
         json.dump(manifest, f)
     if os.path.isdir(final):

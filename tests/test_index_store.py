@@ -1,0 +1,144 @@
+"""Persisted LSH index (bucket-partitioned parquet), partial upsert
+semantics, manifest layout guard, zero-span doc lineage."""
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from agentic_rag_for_multi_model_pdf_extraction_ray.ops.similarity import (
+    build_lsh_index_store,
+    knn_bruteforce,
+    query_lsh_index,
+)
+from agentic_rag_for_multi_model_pdf_extraction_ray.pipelines.vector_store import (
+    build_store_index,
+    query_store,
+    upsert_chunks,
+)
+from agentic_rag_for_multi_model_pdf_extraction_ray.state.manifest import read_output
+
+
+def _vectors(n=300, d=32, seed=2):
+    rng = np.random.RandomState(seed)
+    M = rng.normal(size=(n, d))
+    return M, rd.from_pandas(pd.DataFrame(
+        {"vec_id": range(n), "embedding": [r.tolist() for r in M]}
+    )).repartition(4)
+
+
+def test_persisted_index_prunes_and_ranks(tmp_path):
+    M, ds = _vectors()
+    idx = str(tmp_path / "idx")
+    rows = build_lsh_index_store(ds, idx, n_bits=4)
+    assert sum(r["rows"] for r in rows) == 300
+    assert os.path.isfile(os.path.join(idx, "_INDEX.json"))
+
+    q = M[0]
+    hits, stats = query_lsh_index(idx, q, k=5, n_probes=2, exclude_ids={0})
+    # partition pruning: strictly fewer buckets read than exist
+    assert stats["files_read"] <= stats["buckets_probed"] < stats["buckets_total"]
+    assert len(hits) == 5
+
+    # recall vs brute force over the same data (deterministic seed)
+    brute = knn_bruteforce(ds, q, k=5, exclude_ids={0})
+    recall = len(set(hits["vec_id"]) & set(brute["vec_id"])) / 5
+    assert recall >= 0.6
+
+    # full probe (covering every bucket) is exact
+    hits_all, stats_all = query_lsh_index(idx, q, k=5, n_probes=4,
+                                          exclude_ids={0})
+    assert stats_all["buckets_probed"] == stats_all["buckets_total"]
+    assert hits_all["vec_id"].tolist() == brute["vec_id"].tolist()
+
+
+def _chunks(texts):
+    return rd.from_pandas(pd.DataFrame({
+        "chunk_id": list(texts),
+        "kind": ["text"] * len(texts),
+        "structured_text": list(texts.values()),
+    }))
+
+
+def test_partial_upsert_preserves_other_chunks(tmp_path):
+    store = str(tmp_path / "store")
+    full = {f"c{i}": f"content number {i} alpha beta" for i in range(10)}
+    upsert_chunks(_chunks(full), store, dim=32, n_partitions=4, concurrency=1)
+    assert read_output(store).num_rows == 10
+
+    # re-ingest ONE updated chunk: the other 9 must survive
+    upsert_chunks(_chunks({"c3": "revised content gamma"}), store, dim=32,
+                  n_partitions=4, concurrency=1)
+    t = read_output(store)
+    assert t.num_rows == 10
+    assert sorted(t.column("chunk_id").to_pylist()) == sorted(full)
+
+
+def test_store_index_query_path(tmp_path):
+    store = str(tmp_path / "store")
+    full = {f"c{i}": f"topic {i} " + "ray data streaming " * (i + 1)
+            for i in range(12)}
+    upsert_chunks(_chunks(full), store, dim=32, n_partitions=4, concurrency=1)
+    idx = str(tmp_path / "idx")
+    build_store_index(store, idx, n_bits=3)
+    hits = query_store(store, "ray data streaming", top_k=3, dim=32,
+                       index_dir=idx, n_probes=3)
+    assert len(hits) == 3
+
+
+def _raw_docs(n=40):
+    from agentic_rag_for_multi_model_pdf_extraction_ray.synth import (
+        synthesize_raw_batch,
+    )
+
+    base = rd.from_pandas(pd.DataFrame({
+        "doc_id": list(range(n)),
+        "text": [f"document {i} " + "alpha beta gamma delta epsilon " * 8
+                 for i in range(n)],
+    }))
+    return base.map_batches(synthesize_raw_batch, batch_format="pyarrow")
+
+
+def test_layout_mismatch_refused(tmp_path):
+    from agentic_rag_for_multi_model_pdf_extraction_ray.pipelines.extract import (
+        run_extraction,
+    )
+
+    out = str(tmp_path / "out")
+    run_extraction(_raw_docs(), out, n_partitions=4, concurrency=1)
+    # same layout resumes cleanly (everything already complete)
+    m = run_extraction(_raw_docs(), out, n_partitions=4, concurrency=1)
+    assert m == [] or all(r.get("num_docs") is not None for r in m)
+    # different n_partitions must refuse, not silently mix layouts
+    with pytest.raises(ValueError, match="layout"):
+        run_extraction(_raw_docs(), out, n_partitions=8, concurrency=1)
+
+
+def test_zero_span_docs_have_lineage(tmp_path):
+    from agentic_rag_for_multi_model_pdf_extraction_ray.pipelines.extract import (
+        run_extraction,
+    )
+
+    out = str(tmp_path / "out")
+    raw = rd.from_pandas(pd.DataFrame({
+        "doc_id": ["d-real", "d-empty"],
+        "payload": [
+            "<h1>Heading</h1><p>" + "alpha beta gamma delta " * 5 + "</p>",
+            "<p>tiny</p>",  # below MIN_TEXT_LEN → zero spans
+        ],
+    }))
+    run_extraction(raw, out, n_partitions=2, concurrency=1)
+    t = read_output(out)
+    assert sorted(t.column("doc_id").to_pylist()) == ["d-empty", "d-real"]
+    import pyarrow.compute as pc
+
+    lens = dict(zip(t.column("doc_id").to_pylist(),
+                    pc.list_value_length(t.column("spans")).to_pylist()))
+    assert lens["d-empty"] == 0 and lens["d-real"] > 0
+    with open(os.path.join(out, "_RUN_METRICS.json")) as f:
+        metrics = json.load(f)
+    assert metrics["num_docs_empty"] == 1
+    assert metrics["num_docs"] == 2
