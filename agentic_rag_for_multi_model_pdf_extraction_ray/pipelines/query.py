@@ -64,14 +64,18 @@ def retrieve(chunks_with_embeddings: rd.Dataset, question: str,
     return retrieval_with_figure_boost(hits, fig_hits, text_col="text")
 
 
+def _extractive_answer(hit_dicts: list[dict]) -> str:
+    """Deterministic extractive "generation": top chunks verbatim."""
+    return "\n".join((h["text"] or "")[:400] for h in hit_dicts[:3]).strip()
+
+
 def answer_question(chunks_with_embeddings: rd.Dataset, question: str,
                     top_k: int = TOP_K, dim: int = 384, validate: bool = True) -> dict:
-    """Full query flow → RAGAnswer-shaped dict."""
+    """Full query flow → RAGAnswer-shaped dict (linear path)."""
     hits = retrieve(chunks_with_embeddings, question, top_k=top_k, dim=dim)
     hit_dicts = hits.to_dict("records")
     context = build_context(hit_dicts, text_key="text")
-    # deterministic extractive "generation": top chunks verbatim
-    answer = "\n".join((h["text"] or "")[:400] for h in hit_dicts[:3]).strip()
+    answer = _extractive_answer(hit_dicts)
     result = {
         "question": question,
         "answer": answer,
@@ -87,3 +91,86 @@ def answer_question(chunks_with_embeddings: rd.Dataset, question: str,
             answer, [h["text"] or "" for h in hit_dicts]
         )
     return result
+
+
+def answer_question_routed(chunks_with_embeddings: rd.Dataset, question: str,
+                           top_k: int = TOP_K, dim: int = 384,
+                           validate: bool = True, min_score: float = 0.0,
+                           widen_factor: int = 3,
+                           answer_fn=None) -> dict:
+    """Conditionally-routed query flow — the reference's LangGraph
+    graph (``langgraph_pipeline.py:387-405``, conditional edges
+    ``route_after_quality_check`` / ``route_after_decide_validate`` /
+    ``route_after_grounding_check``) with deterministic gates:
+
+      retrieve → check_quality
+        · no hits, or best score < min_score → ONE widened re-retrieve
+          (top_k × widen_factor); still failing → finalize with an
+          "insufficient context" warning, generation skipped
+          (reference check_retrieval_quality_node, ``:85-115``)
+      → generate (answer_fn, default extractive)
+      → decide_validate (the ``validates`` flag)
+      → validate (Checkpoint B grounding) → check_grounding
+        · not grounded and a grounded revision exists → revise:
+          substitute the extractive answer (grounded by construction)
+          and re-validate (reference revise_answer_node, ``:263-275``)
+      → finalize.
+
+    ``route`` in the result records the phases taken, mirroring the
+    reference's ``current_phase`` trace."""
+    answer_fn = answer_fn or _extractive_answer
+    route = ["retrieve", "check_quality"]
+    warnings: list[str] = []
+
+    hits = retrieve(chunks_with_embeddings, question, top_k=top_k, dim=dim)
+    if len(hits) == 0 or float(hits["score"].max()) < min_score:
+        route.append("re_retrieve_widened")
+        hits = retrieve(chunks_with_embeddings, question,
+                        top_k=top_k * widen_factor, dim=dim)
+    insufficient = len(hits) == 0 or float(hits["score"].max()) < min_score
+    base = {
+        "question": question,
+        "answer": None,
+        "reasoning_trace": None,
+        "source_chunks": [],
+        "validation_summary": None,
+        "warnings": warnings,
+        "insufficient_context": insufficient,
+    }
+    if insufficient:
+        warnings.append("No relevant context found for question")
+        route.append("finalize")
+        base["route"] = route
+        return base
+
+    hit_dicts = hits.to_dict("records")
+    route.append("generate")
+    answer = answer_fn(hit_dicts)
+    source_texts = [h["text"] or "" for h in hit_dicts]
+    base.update(
+        answer=answer,
+        reasoning_trace=build_context(hit_dicts, text_key="text"),
+        source_chunks=[
+            {"chunk_id": h["chunk_id"], "kind": h["kind"], "score": float(h["score"])}
+            for h in hit_dicts
+        ],
+    )
+    route.append("decide_validate")
+    if validate:
+        route.append("validate")
+        verdict = ground_answer(answer, source_texts)
+        route.append("check_grounding")
+        if not verdict["is_grounded"]:
+            revised = _extractive_answer(hit_dicts)
+            revised_verdict = ground_answer(revised, source_texts)
+            if revised_verdict["is_grounded"]:
+                # needs_revision = not grounded AND a grounded revision
+                # exists (reference langgraph_pipeline.py:241)
+                route.append("revise")
+                warnings.append("answer revised: hallucinations detected")
+                base["answer"] = revised
+                verdict = revised_verdict
+        base["validation_summary"] = verdict
+    route.append("finalize")
+    base["route"] = route
+    return base

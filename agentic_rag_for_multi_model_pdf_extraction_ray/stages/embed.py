@@ -39,7 +39,27 @@ class HashingEmbedder:
         return v / n if n > 0 else v
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        batch["embedding"] = [self._encode(t or "") for t in batch[self.text_col]]
+        # batched encode: hash every token once, scatter-add into the
+        # (rows × dim) matrix — honest about batch shape (a real model
+        # call is one forward pass per batch, not per row).  ±1 sums in
+        # float32 are exact, so this equals per-row _encode bit-for-bit.
+        toks_per_row = [(t or "").lower().split() for t in batch[self.text_col]]
+        lens = np.fromiter((len(t) for t in toks_per_row), dtype=np.int64,
+                           count=len(toks_per_row))
+        M = np.zeros((len(toks_per_row), self.dim), dtype=np.float32)
+        flat = [tok for toks in toks_per_row for tok in toks]
+        if flat:
+            h = np.fromiter((stable_hash64(t) for t in flat), dtype=np.uint64,
+                            count=len(flat))
+            idx = (h % np.uint64(self.dim)).astype(np.int64)
+            sign = np.where((h >> np.uint64(63)) > 0, np.float32(1.0),
+                            np.float32(-1.0))
+            rows = np.repeat(np.arange(len(toks_per_row)), lens)
+            np.add.at(M, (rows, idx), sign)
+        n = np.linalg.norm(M, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        M /= n
+        batch["embedding"] = list(M)
         return batch
 
 

@@ -31,6 +31,61 @@ except ImportError:
     HAVE_PIL = False
 
 
+def pixmap_to_rgb(samples: bytes, width: int, height: int,
+                  n_components: int, colorspace: str = "auto") -> np.ndarray | None:
+    """Raw pixmap samples → (h, w, 3) uint8 RGB, pure numpy — the
+    reference's pixmap→RGB conversion (``src/core/parser.py:66-110``:
+    RGBA/CMYK → csRGB, insufficient-data skip) without PIL/pymupdf.
+
+    * 1 component: grayscale, replicated to RGB
+    * 2: gray+alpha, alpha-composited over white
+    * 3: RGB pass-through
+    * 4: RGBA (alpha-composite over white) or CMYK (naive inversion
+      R=255(1−C)(1−K)) — ``colorspace`` disambiguates; "auto" assumes
+      RGBA, pymupdf's common case
+    * buffer shorter than width×height×n → None (the reference's
+      "insufficient data … Skipping" fallback)
+    """
+    n = int(n_components)
+    need = int(width) * int(height) * n
+    buf = np.frombuffer(samples or b"", dtype=np.uint8)
+    if n not in (1, 2, 3, 4) or need <= 0 or len(buf) < need:
+        return None
+    px = buf[:need].reshape(int(height), int(width), n).astype(np.float64)
+    if n == 1:
+        rgb = np.repeat(px, 3, axis=2)
+    elif n == 2:
+        a = px[:, :, 1:2] / 255.0
+        gray = px[:, :, 0:1] * a + 255.0 * (1.0 - a)
+        rgb = np.repeat(gray, 3, axis=2)
+    elif n == 3:
+        rgb = px
+    elif colorspace == "cmyk":
+        c, m, y, k = (px[:, :, i] / 255.0 for i in range(4))
+        rgb = np.stack([
+            255.0 * (1.0 - c) * (1.0 - k),
+            255.0 * (1.0 - m) * (1.0 - k),
+            255.0 * (1.0 - y) * (1.0 - k),
+        ], axis=2)
+    else:  # RGBA over white
+        a = px[:, :, 3:4] / 255.0
+        rgb = px[:, :, :3] * a + 255.0 * (1.0 - a)
+    return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+
+
+def thumbnail_rgb(rgb: np.ndarray, max_px: int = 64) -> np.ndarray:
+    """Nearest-neighbor downscale keeping aspect (pure numpy index
+    striding — no codec)."""
+    h, w = rgb.shape[:2]
+    scale = max(h, w) / max_px
+    if scale <= 1.0:
+        return rgb
+    th, tw = max(1, int(h / scale)), max(1, int(w / scale))
+    yi = np.minimum((np.arange(th) * scale).astype(np.int64), h - 1)
+    xi = np.minimum((np.arange(tw) * scale).astype(np.int64), w - 1)
+    return rgb[yi[:, None], xi[None, :]]
+
+
 def explode_media_batch(batch: pa.Table) -> pa.Table:
     """documents_raw → one row per media object (vectorized via Arrow
     list offsets)."""
@@ -69,14 +124,37 @@ class MediaFeatureExtractor:
         th = min(self.thumbnail_px, int(h))
         return {"feature": digest, "thumb_w": tw, "thumb_h": th}
 
-    def _decode_pil(self, data: bytes, w: int, h: int) -> dict:
+    def _decode_raw_samples(self, data: bytes, w: int, h: int) -> dict | None:
+        """Real (codec-free) path: if the blob is raw pixmap samples
+        (len = w×h×n for n∈{1,2,3,4}), convert to RGB + thumbnail with
+        pure numpy (pixmap_to_rgb) and featurize the pixels."""
+        for n in (3, 4, 1, 2):
+            if len(data or b"") == int(w) * int(h) * n:
+                rgb = pixmap_to_rgb(data, w, h, n)
+                if rgb is None:
+                    return None
+                thumb = thumbnail_rgb(rgb, self.thumbnail_px)
+                digest = hashlib.blake2b(thumb.tobytes(), digest_size=8).hexdigest()
+                return {"feature": digest, "thumb_w": thumb.shape[1],
+                        "thumb_h": thumb.shape[0]}
+        return None
+
+    def _decode_codec(self, data: bytes, w: int, h: int) -> dict:
         raise NotImplementedError(
-            "real decode path requires PIL + codec libraries; "
-            "this container has none (install pillow to enable)"
+            "compressed-image decode (PNG/JPEG) requires PIL; this "
+            "container has none (install pillow to enable) — raw "
+            "pixmap samples are handled codec-free by _decode_raw_samples"
         )
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        decode = self._decode_pil if self.have_pil else self._decode_fake
+        def decode(d, w, h):
+            real = self._decode_raw_samples(d, w, h)
+            if real is not None:
+                return real
+            if self.have_pil:
+                return self._decode_codec(d, w, h)
+            return self._decode_fake(d, w, h)
+
         feats = [
             decode(d, w, h)
             for d, w, h in zip(batch["data"], batch["width"], batch["height"])

@@ -1,0 +1,93 @@
+"""Conditional routing in the query pipeline — both directions of
+every gate, mirroring the reference's LangGraph routing suite
+(reference tests/test_langgraph_pipeline.py:29-339)."""
+
+import pandas as pd
+import ray.data as rd
+
+from agentic_rag_for_multi_model_pdf_extraction_ray.pipelines.query import (
+    answer_question_routed,
+)
+from agentic_rag_for_multi_model_pdf_extraction_ray.stages.embed import embed
+
+
+def _corpus():
+    chunks = rd.from_pandas(pd.DataFrame({
+        "chunk_id": [f"c{i}" for i in range(6)],
+        "kind": ["text"] * 5 + ["figure"],
+        "structured_text": [
+            "ray data streaming execution with backpressure",
+            "arrow zero copy batches in the object store",
+            "actor pools for stateful model stages",
+            "groupby shuffle and repartition semantics",
+            "totally unrelated cooking recipe with onions",
+            "figure: throughput scaling chart",
+        ],
+    }))
+    return embed(chunks, dim=64, concurrency=1)
+
+
+def test_happy_path_no_revision():
+    ans = answer_question_routed(
+        _corpus(), "ray data streaming execution", dim=64)
+    assert ans["route"] == ["retrieve", "check_quality", "generate",
+                            "decide_validate", "validate", "check_grounding",
+                            "finalize"]
+    assert ans["validation_summary"]["is_grounded"]
+    assert not ans["insufficient_context"]
+
+
+def test_quality_gate_widens_then_finalizes_insufficient():
+    # an impossible score threshold forces the widened re-retrieve and
+    # then the insufficient-context finalize (generation skipped)
+    ans = answer_question_routed(
+        _corpus(), "ray data streaming execution", dim=64, min_score=2.0)
+    assert "re_retrieve_widened" in ans["route"]
+    assert ans["route"][-1] == "finalize"
+    assert "generate" not in ans["route"]
+    assert ans["insufficient_context"]
+    assert ans["answer"] is None
+    assert any("No relevant context" in w for w in ans["warnings"])
+
+
+def test_quality_gate_widened_retry_recovers():
+    # threshold below the achievable score: first retrieve passes, no
+    # widening at all
+    ans = answer_question_routed(
+        _corpus(), "ray data streaming execution", dim=64, min_score=-1.0)
+    assert "re_retrieve_widened" not in ans["route"]
+    assert "generate" in ans["route"]
+
+
+def test_decide_validate_false_skips_validation():
+    ans = answer_question_routed(
+        _corpus(), "ray data streaming execution", dim=64, validate=False)
+    assert "validate" not in ans["route"]
+    assert "check_grounding" not in ans["route"]
+    assert ans["validation_summary"] is None
+    assert ans["answer"]
+
+
+def test_grounding_gate_revises_hallucinated_answer():
+    # a "model" that hallucinates tokens absent from every source → the
+    # grounding gate routes through revise and substitutes the
+    # extractive (grounded) answer, reference revise_answer_node
+    def liar(hits):
+        return "the zorblax framework quantizes hyperdrive manifolds"
+
+    ans = answer_question_routed(
+        _corpus(), "ray data streaming execution", dim=64, answer_fn=liar)
+    assert "revise" in ans["route"]
+    assert "zorblax" not in ans["answer"]
+    assert ans["validation_summary"]["is_grounded"]
+    assert any("revised" in w for w in ans["warnings"])
+
+
+def test_grounded_custom_answer_not_revised():
+    def truthful(hits):
+        return (hits[0]["text"] or "")[:100]
+
+    ans = answer_question_routed(
+        _corpus(), "ray data streaming execution", dim=64, answer_fn=truthful)
+    assert "revise" not in ans["route"]
+    assert ans["validation_summary"]["is_grounded"]
