@@ -502,6 +502,20 @@ def _q_event_median(sf_dir: str):
     return grouped_median(ev, "event_type", "value", alias="median_value")
 
 
+def _q_event_median_hist(sf_dir: str):
+    """Scale-path exact median: mergeable per-batch cents histograms —
+    per-group memory bounded by DISTINCT values, not row count (the
+    in-group-sort variant holds a full group)."""
+    from agentic_rag_for_multi_model_pdf_extraction_ray.ops.sample import (
+        grouped_median_histogram,
+    )
+    from agentic_rag_for_multi_model_pdf_extraction_ray.sources.corpus import read_table
+
+    ev = read_table(sf_dir, "events", columns=["event_type", "value"])
+    return grouped_median_histogram(ev, "event_type", "value",
+                                    alias="median_value", scale=100)
+
+
 def _q_asof_join(sf_dir: str):
     """As-of join (broadcast right): each event matched to the most
     recent order of customer=user_id with o_orderdate <= ts."""
@@ -829,6 +843,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_sample_deterministic": _q_sample_deterministic,
         "q_stratified_sample": _q_stratified_sample,
         "q_event_median": _q_event_median,
+        "q_event_median_hist": _q_event_median_hist,
         "q_top_tokens": _q_top_tokens,
         "q_asof_join": _q_asof_join,
         "q_top_events_per_user": _q_top_events_per_user,
@@ -1047,6 +1062,10 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rn <= 5
         """,
         "q_event_median": """
+            SELECT event_type, median(value) AS median_value
+            FROM events GROUP BY event_type
+        """,
+        "q_event_median_hist": """
             SELECT event_type, median(value) AS median_value
             FROM events GROUP BY event_type
         """,

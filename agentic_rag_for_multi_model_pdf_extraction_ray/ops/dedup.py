@@ -134,6 +134,31 @@ def _distinct_pairs(cand: rd.Dataset, extra_cols: tuple = (),
     )
 
 
+def _pair_counts(cand: rd.Dataset, n_buckets: int = 256) -> rd.Dataset:
+    """Exact distributed multiplicity per (a, b) pair row → columns
+    (a, b, shared).  Same bounded-bucket shape as
+    :func:`_distinct_pairs`; all occurrences of a pair hash to one
+    bucket, so the per-bucket size() is the exact global count."""
+
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        h = _id_hash(b["a"]) * np.uint64(0x9E3779B97F4A7C15) ^ _id_hash(b["b"])
+        b["pk"] = (h % np.uint64(n_buckets)).astype(np.int64)
+        return b
+
+    def count(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.groupby(["a", "b"], sort=False).size()
+                .reset_index(name="shared"))
+
+    return (
+        cand.map_batches(add_bucket, batch_format="pandas")
+        .repartition(32)
+        .groupby("pk")
+        .map_groups(count, batch_format="pandas")
+        .repartition(16)
+    )
+
+
 def _within_bucket_pairs(g: pd.DataFrame, bucket_col: str, id_col: str,
                          extra_cols: tuple = (), cap: int = 64) -> pd.DataFrame:
     """All unordered id pairs within each bucket, vectorized.
@@ -175,15 +200,16 @@ def _within_bucket_pairs(g: pd.DataFrame, bucket_col: str, id_col: str,
 
 def verify_pairs(pairs: rd.Dataset, features: rd.Dataset, score_fn,
                  id_col: str = "doc_id", feat_col: str = "feat",
-                 num_partitions: int = 16) -> rd.Dataset:
+                 num_partitions: int = 8, pass_cols: tuple = ()) -> rd.Dataset:
     """Score candidate pairs against a per-id feature table with two
     hash-partitioned joins — each id's feature ships to exactly the
     partitions that need it; nothing lands on the driver.
 
-    ``score_fn(feats_a: list, feats_b: list) -> np.ndarray`` is called
-    per batch (vectorize inside).  Features must be join-safe scalars
-    (serialize arrays to bytes).  Pairs whose id lacks a feature row
-    are dropped (inner join)."""
+    ``score_fn(feats_a: list, feats_b: list, *pass_col_arrays) ->
+    np.ndarray`` is called per batch (vectorize inside); ``pass_cols``
+    names extra columns of ``pairs`` forwarded to it positionally.
+    Features must be join-safe scalars (serialize arrays to bytes).
+    Pairs whose id lacks a feature row are dropped (inner join)."""
     def _renamed(side: str) -> rd.Dataset:
         # Dataset.rename_columns fails on pandas-format blocks in this
         # Ray version — rename per batch instead
@@ -205,7 +231,9 @@ def verify_pairs(pairs: rd.Dataset, features: rd.Dataset, score_fn,
     def score(b: pd.DataFrame) -> pd.DataFrame:
         if not len(b):
             return pd.DataFrame({"a": [], "b": [], "score": []})
-        s = np.asarray(score_fn(b["feat_a"].tolist(), b["feat_b"].tolist()),
+        extras = tuple(b[c].to_numpy() for c in pass_cols)
+        s = np.asarray(score_fn(b["feat_a"].tolist(), b["feat_b"].tolist(),
+                                *extras),
                        dtype=np.float64)
         return pd.DataFrame({"a": b["a"].to_numpy(), "b": b["b"].to_numpy(),
                              "score": s})
@@ -301,9 +329,33 @@ def connected_components_min_label(edges: rd.Dataset, max_iters: int = 30,
 def attach_component_labels(ids: rd.Dataset, labels: rd.Dataset,
                             id_col: str = "doc_id",
                             out_col: str = "cluster_id",
-                            num_partitions: int = 16) -> rd.Dataset:
-    """Left-join component labels back onto the full id column; ids
-    without an edge keep themselves as label."""
+                            num_partitions: int = 16,
+                            broadcast_threshold: int = 2_000_000) -> rd.Dataset:
+    """Attach component labels back onto the full id column; ids
+    without an edge keep themselves as label.
+
+    Labels exist only for nodes with a near-dup edge — usually far
+    smaller than the corpus — so under ``broadcast_threshold`` rows
+    the map ships ONE broadcast dict (``ray.put``) instead of
+    shuffling the whole corpus through a left-outer join; above it,
+    the hash join."""
+    import ray
+
+    n_labels = labels.count()
+    if n_labels <= broadcast_threshold:
+        lab_df = labels.to_pandas()
+        ref = ray.put(dict(zip(lab_df["node"], lab_df["label"])))
+
+        def fill_bc(b: pd.DataFrame) -> pd.DataFrame:
+            m = ray.get(ref)
+            vals = b[id_col]
+            return pd.DataFrame({
+                id_col: vals.to_numpy(),
+                out_col: vals.map(lambda x: m.get(x, x)).to_numpy(),
+            })
+
+        return ids.map_batches(fill_bc, batch_format="pandas")
+
     from .join import sized_join
 
     out = sized_join(ids, labels, "left_outer", on=(id_col,),
@@ -584,14 +636,16 @@ def ngram_feature_table(ds: rd.Dataset, n: int = 3, id_col: str = "doc_id",
     feature table feeding both blocking and verification."""
 
     def feats(batch: pd.DataFrame) -> pd.DataFrame:
-        ids, blobs = [], []
+        ids, blobs, sizes = [], [], []
         for i, t in zip(batch[id_col], batch[text_col]):
             h = _gram_hashes(t, n)
             if not len(h):
                 continue
             ids.append(i)
             blobs.append(h.tobytes())
-        return pd.DataFrame({"doc_id": ids, "grams": blobs})
+            sizes.append(len(h))
+        return pd.DataFrame({"doc_id": ids, "grams": blobs,
+                             "sz": np.asarray(sizes, dtype=np.int64)})
 
     return ds.map_batches(feats, batch_format="pandas").materialize()
 
@@ -600,11 +654,17 @@ def ngram_jaccard_pair_ds(ds: rd.Dataset, n: int = 3, threshold: float = 0.5,
                           id_col: str = "doc_id", text_col: str = "text",
                           pair_cap: int = 64,
                           n_super_buckets: int | None = None) -> rd.Dataset:
-    """Near-dup pairs by word n-gram Jaccard, end-to-end distributed:
-    candidates blocked by shared grams (explode → bounded-bucket
-    within-gram pairs), verification by exact Jaccard over the
-    materialized gram table via two hash joins — the round-1
-    driver-side {doc → gram set} dict is gone."""
+    """Near-dup pairs by word n-gram Jaccard, end-to-end distributed
+    and COUNT-based: within each gram's bucket, every co-occurring
+    pair emits one row, so a pair's multiplicity across grams IS
+    |A∩B|; with per-doc set sizes joined on (two hash joins of 8-byte
+    ints — no gram-set blobs move), Jaccard = shared/(|A|+|B|−shared)
+    exactly.  The round-1 driver-side {doc → gram set} dict is gone.
+
+    Grams shared by more than ``pair_cap`` docs contribute star edges
+    only (bounded blow-up); their intersection counts are undercounted
+    for non-star pairs — the standard ubiquitous-gram downweighting at
+    corpus scale.  Below the cap the result is exact."""
     feats = ngram_feature_table(ds, n, id_col, text_col)
     if n_super_buckets is None:
         # gram rows ≈ docs × tokens/doc; 128 is a fair prior for the
@@ -623,7 +683,7 @@ def ngram_jaccard_pair_ds(ds: rd.Dataset, n: int = 3, threshold: float = 0.5,
         return pd.DataFrame({"doc_id": np.concatenate(ids), "gram": g,
                              "gk": g % n_super_buckets})
 
-    cand = _distinct_pairs(
+    cand = _pair_counts(
         feats.map_batches(explode, batch_format="pandas")
         .repartition(32)  # bound the groupby's B^2 shuffle fan-out
         .groupby("gk")
@@ -633,16 +693,14 @@ def ngram_jaccard_pair_ds(ds: rd.Dataset, n: int = 3, threshold: float = 0.5,
         )
     )
 
-    def jac(fa: list, fb: list) -> np.ndarray:
-        out = np.empty(len(fa))
-        for i, (x, y) in enumerate(zip(fa, fb)):
-            A = np.frombuffer(x, dtype=np.uint64)
-            B = np.frombuffer(y, dtype=np.uint64)
-            inter = len(np.intersect1d(A, B, assume_unique=True))
-            out[i] = inter / (len(A) + len(B) - inter) if (len(A) or len(B)) else 0.0
-        return out
+    def jac(fa: list, fb: list, shared: np.ndarray) -> np.ndarray:
+        A = np.asarray(fa, dtype=np.float64)
+        B = np.asarray(fb, dtype=np.float64)
+        S = shared.astype(np.float64)
+        return S / (A + B - S)
 
-    scored = verify_pairs(cand, feats, jac, id_col="doc_id", feat_col="grams")
+    scored = verify_pairs(cand, feats, jac, id_col="doc_id", feat_col="sz",
+                          pass_cols=("shared",))
 
     def thresh(b: pd.DataFrame) -> pd.DataFrame:
         if not len(b):

@@ -73,6 +73,55 @@ def grouped_median(ds: rd.Dataset, group_col: str, value_col: str,
     return ds.groupby(group_col).map_groups(med, batch_format="pandas")
 
 
+def grouped_median_histogram(ds: rd.Dataset, group_col: str, value_col: str,
+                             alias: str = "median", scale: int = 100) -> rd.Dataset:
+    """Exact per-group median for FIXED-PRECISION values (e.g. cents)
+    via mergeable partial histograms — the scale path for
+    :func:`grouped_median`, whose in-group sort holds one full group
+    in memory (~20% of a 100 TB table for 5 event types).
+
+    Per batch: (group, int(value·scale)) counts (pre-aggregated
+    map-side) → groupby(group) merges the tiny histograms → median
+    from cumulative counts.  Memory per group is bounded by the number
+    of DISTINCT values, not the row count.  Exact when every value is
+    a multiple of 1/scale (asserted); DuckDB ``median`` semantics
+    (average of the two middle values for even counts, computed on the
+    reconstructed float64s)."""
+
+    def partial_hist(batch: pd.DataFrame) -> pd.DataFrame:
+        v = batch[value_col].to_numpy(dtype=np.float64)
+        iv = np.rint(v * scale)
+        if not np.allclose(iv / scale, v, rtol=0, atol=1e-9):
+            raise ValueError(
+                f"{value_col} is not fixed-precision at scale={scale}; "
+                "grouped_median_histogram would be approximate — use "
+                "grouped_median instead")
+        df = pd.DataFrame({group_col: batch[group_col],
+                           "iv": iv.astype(np.int64)})
+        g = df.groupby([group_col, "iv"], sort=False).size().reset_index(name="n")
+        return g
+
+    def merge_median(group: pd.DataFrame) -> pd.DataFrame:
+        h = group.groupby("iv", sort=True)["n"].sum()
+        counts = h.to_numpy()
+        vals = h.index.to_numpy().astype(np.float64) / scale
+        cum = np.cumsum(counts)
+        total = int(cum[-1])
+        if total % 2:
+            m = float(vals[np.searchsorted(cum, total // 2 + 1)])
+        else:
+            a = vals[np.searchsorted(cum, total // 2)]
+            b = vals[np.searchsorted(cum, total // 2 + 1)]
+            m = float((a + b) / 2.0)
+        return pd.DataFrame({group_col: [group[group_col].iloc[0]], alias: [m]})
+
+    return (
+        ds.map_batches(partial_hist, batch_format="pandas")
+        .groupby(group_col)
+        .map_groups(merge_median, batch_format="pandas")
+    )
+
+
 def top_tokens(ds: rd.Dataset, text_col: str, k: int = 20) -> pd.DataFrame:
     """Top-k whitespace tokens by total count across the corpus.
 
