@@ -77,7 +77,7 @@ def cmd_query(args) -> None:
     ray = _ray_session()
     import ray.data as rd
 
-    from .pipelines.query import answer_question
+    from .pipelines.query import answer_question, answer_question_routed
     from .sources.sinks import save_answer_json
     from .stages.chunk import transform_chunks
     from .stages.embed import embed
@@ -90,8 +90,12 @@ def cmd_query(args) -> None:
     # tolerates its absence
     chunks = transform_chunks(rd.from_arrow(span_rows), mode="direct")
     with_vecs = embed(chunks, dim=args.dim, concurrency=2)
-    ans = answer_question(with_vecs, args.question, dim=args.dim,
-                          validate=not args.no_validate)
+    if getattr(args, "routed", False):
+        ans = answer_question_routed(with_vecs, args.question, dim=args.dim,
+                                     validate=not args.no_validate)
+    else:
+        ans = answer_question(with_vecs, args.question, dim=args.dim,
+                              validate=not args.no_validate)
     if args.save:
         save_answer_json(ans, args.save)
     print(json.dumps(ans, ensure_ascii=False)[:2000])
@@ -135,6 +139,9 @@ def main(argv=None) -> None:
     pq_.add_argument("--dim", type=int, default=384)
     pq_.add_argument("--no-validate", action="store_true")
     pq_.add_argument("--save", default=None)
+    pq_.add_argument("--routed", action="store_true",
+                     help="conditionally-routed flow (quality gate, "
+                          "widened re-retrieve, grounding-gate revise)")
     pq_.set_defaults(fn=cmd_query)
 
     pp = sub.add_parser("pipeline", help="ingest then query")

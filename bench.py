@@ -109,7 +109,8 @@ def run_bench() -> dict:
     qnames = [] if "--headline-only" in sys.argv else [
         "q1_pricing_summary", "q3_shipping", "q_order_lineitem_join",
         "q_events_tumbling", "q_sessionize", "q_dedup_exact",
-        "q_minhash_clusters", "q_knn", "q_cosine_pairs", "q_token_stats",
+        "q_minhash_clusters", "q_ngram_jaccard", "q_knn", "q_knn_store",
+        "q_cosine_pairs", "q_event_median_hist", "q_token_stats",
         "q_langid",
     ]
     queries = {}
