@@ -75,14 +75,17 @@ def knn_multi_query(ds: rd.Dataset, queries: np.ndarray, k: int = 10,
         M = _normalize(_as_matrix(batch[vec_col]))
         S = Qm @ M.T  # (Q, B)
         ids = batch[id_col].to_numpy()
-        rows = []
         kk = min(k, S.shape[1])
-        for qi in range(S.shape[0]):
-            idx = np.argpartition(-S[qi], kk - 1)[:kk]
-            rows.append(pd.DataFrame({
-                "query_idx": qi, id_col: ids[idx], "score": round_half_up(S[qi, idx], 6)
-            }))
-        return pd.concat(rows, ignore_index=True)
+        # one argpartition over the whole (Q, B) score matrix — no
+        # per-query Python loop
+        idx = np.argpartition(-S, kk - 1, axis=1)[:, :kk]  # (Q, kk)
+        qi = np.repeat(np.arange(S.shape[0]), kk)
+        flat = idx.reshape(-1)
+        return pd.DataFrame({
+            "query_idx": qi,
+            id_col: ids[flat],
+            "score": round_half_up(S[qi, flat], 6),
+        })
 
     partials = ds.map_batches(partial, batch_format="pandas", batch_size=4096).to_pandas()
     return (
