@@ -247,13 +247,18 @@ def connected_components_min_label(edges: rd.Dataset, max_iters: int = 30,
     """Distributed connected components by iterative min-label
     propagation — the scale replacement for driver-side union-find.
 
-    ``label(x) ← min(label(x), min over neighbors' labels)``, repeated
-    to fixpoint (≤ component diameter rounds; near-dup clusters are
-    shallow stars, so typically 1–2).  Each round is one hash join
-    (edges ⋈ labels — only edge-scale data moves) and one
-    bounded-bucket per-node min (never one reduce group per node).
-    Convergence is detected with an order-insensitive XOR checksum of
-    (node, label) hashes — one tiny row per batch reaches the driver.
+    Each round combines
+      * propagation: ``label(x) ← min(label(x), min over neighbors'
+        labels)`` (one hash join edges ⋈ labels), and
+      * pointer-doubling (shortcutting): ``label(x) ← label(label(x))``
+        (one labels ⋈ labels join) — labels chase their component min
+        at doubling distance, so a diameter-D chain converges in
+        O(log D) rounds instead of D (a plain-propagation chain longer
+        than max_iters would converge WRONG, silently),
+    then one bounded-bucket per-node min (never one reduce group per
+    node).  Convergence is detected with an order-insensitive XOR
+    checksum of (node, label) hashes — one tiny row per batch reaches
+    the driver.  Raises if max_iters rounds pass without a fixpoint.
 
     Returns (node, label) for every node that appears in an edge.
     """
@@ -306,24 +311,41 @@ def connected_components_min_label(edges: rd.Dataset, max_iters: int = 30,
     labels = min_per_node(init, "lab").materialize()
     prev = checksum(labels)
 
-    for _ in range(max_iters):
-        from .join import sized_join
+    from .join import sized_join
 
+    for it in range(max_iters):
         msgs = sized_join(both, labels, "inner", on=("node",),
                           requested_partitions=num_partitions).map_batches(
             lambda b: pd.DataFrame({"node": b["nbr"], "lab": b["label"]}),
+            batch_format="pandas",
+        )
+        # shortcut: follow each node's label to ITS label — L(key=label)
+        # ⋈ L(node) gives (node, label(label));  label(y) ≤ y always,
+        # so this only ever lowers labels (safe to union into the min)
+        by_label = labels.map_batches(
+            lambda b: pd.DataFrame({"src": b["node"].to_numpy(),
+                                    "node": b["label"].to_numpy()}),
+            batch_format="pandas",
+        )
+        shortcut = sized_join(by_label, labels, "inner", on=("node",),
+                              requested_partitions=num_partitions).map_batches(
+            lambda b: pd.DataFrame({"node": b["src"], "lab": b["label"]}),
             batch_format="pandas",
         )
         cur = labels.map_batches(
             lambda b: pd.DataFrame({"node": b["node"], "lab": b["label"]}),
             batch_format="pandas",
         )
-        labels = min_per_node(msgs.union(cur), "lab").materialize()
+        labels = min_per_node(msgs.union(cur).union(shortcut), "lab").materialize()
         cs = checksum(labels)
         if cs == prev:
-            break
+            return labels
         prev = cs
-    return labels
+    raise RuntimeError(
+        f"connected components did not converge in {max_iters} rounds — "
+        f"raise max_iters (log2(component diameter) rounds suffice with "
+        f"shortcutting)"
+    )
 
 
 def attach_component_labels(ids: rd.Dataset, labels: rd.Dataset,

@@ -56,6 +56,17 @@ def test_connected_components_matches_union_find():
     assert gm == want
 
 
+def test_connected_components_long_chain_pointer_doubling():
+    # a 48-node path has diameter 47: plain 1-hop propagation needs 47
+    # rounds, pointer-doubling ~log2(47) ≈ 6 — must converge well
+    # inside the default max_iters and label every node with the min
+    chain = list(range(100, 148))
+    edges = list(zip(chain, chain[1:]))
+    eds = rd.from_pandas(pd.DataFrame(edges, columns=["a", "b"]))
+    got = connected_components_min_label(eds, max_iters=10).to_pandas()
+    assert dict(zip(got["node"], got["label"])) == {n: 100 for n in chain}
+
+
 def test_within_bucket_pairs_all_and_star():
     g = pd.DataFrame({
         "bk": [1, 1, 1, 2, 2, 3] + [9] * 10,
