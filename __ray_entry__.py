@@ -294,6 +294,53 @@ def _q_events_tumbling(sf_dir: str):
     return df[["event_type", "window_start", "n", "sum_value"]]
 
 
+def _q_events_hopping(sf_dir: str):
+    """1h windows hopping every 15min: each event explodes into 4
+    (key, window_start) rows, then the partial-aggregating groupby."""
+    from agentic_rag_for_multi_model_pdf_extraction_ray.ops.window import hopping_window
+    from agentic_rag_for_multi_model_pdf_extraction_ray.sources.corpus import read_table
+
+    ev = read_table(sf_dir, "events", columns=["event_type", "ts", "value"])
+    df = hopping_window(ev, window_sec=3600, hop_sec=900).to_pandas()
+    return df[["event_type", "window_start", "n", "sum_value"]]
+
+
+def _q_customers_without_orders(sf_dir: str):
+    """Exact distributed anti join: customers with no URGENT order
+    (filter-at-read → bounded-bucket distinct custkeys → left_outer +
+    null-marker filter, ops/join.shuffle_anti_join)."""
+    from agentic_rag_for_multi_model_pdf_extraction_ray.ops.dedup import distinct_column
+    from agentic_rag_for_multi_model_pdf_extraction_ray.ops.join import shuffle_anti_join
+    from agentic_rag_for_multi_model_pdf_extraction_ray.sources.corpus import read_table
+
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    urgent = read_table(
+        sf_dir, "orders", columns=["o_custkey", "o_orderpriority"]
+    ).map_batches(
+        lambda b: b[b["o_orderpriority"] == "1-URGENT"][["o_custkey"]],
+        batch_format="pandas",
+    )
+    okeys = distinct_column(urgent, "o_custkey")
+    out = shuffle_anti_join(cust, okeys, on="c_custkey",
+                            right_on="o_custkey").to_pandas()
+    if out.empty:  # keep schema on empty result
+        out = pd.DataFrame({"c_custkey": pd.Series(dtype="int64"),
+                            "c_name": pd.Series(dtype=object)})
+    return out[["c_custkey", "c_name"]]
+
+
+def _q_simhash_pairs(sf_dir: str):
+    """SimHash near-dup pairs (banded blocking + vectorized
+    XOR/popcount verify) over the documents table."""
+    from agentic_rag_for_multi_model_pdf_extraction_ray.ops.dedup import (
+        simhash_near_dups,
+    )
+    from agentic_rag_for_multi_model_pdf_extraction_ray.sources.corpus import read_table
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return simhash_near_dups(docs, max_hamming=3)
+
+
 def _q_sessionize(sf_dir: str):
     from agentic_rag_for_multi_model_pdf_extraction_ray.ops.window import sessionize
     from agentic_rag_for_multi_model_pdf_extraction_ray.sources.corpus import read_table
@@ -827,6 +874,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_order_lineitem_join": _q_order_lineitem_join,
         "q_events_filter_project": _q_events_filter_project,
         "q_events_tumbling": _q_events_tumbling,
+        "q_events_hopping": _q_events_hopping,
+        "q_customers_without_orders": _q_customers_without_orders,
+        "q_simhash_pairs": _q_simhash_pairs,
         "q_sessionize": _q_sessionize,
         "q_distinct_users": _q_distinct_users,
         "q_dedup_exact": _q_dedup_exact,
@@ -934,6 +984,23 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n,
                    sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) / 100.0 AS sum_value
             FROM events GROUP BY event_type, date_trunc('hour', ts)
+        """,
+        "q_events_hopping": """
+            SELECT event_type,
+                   CAST((CAST(floor(epoch(ts) / 900) AS BIGINT) - g.i) * 900
+                        AS BIGINT) AS window_start,
+                   count(*) AS n,
+                   sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) / 100.0 AS sum_value
+            FROM events CROSS JOIN (SELECT unnest(range(4)) AS i) g
+            GROUP BY event_type, window_start
+        """,
+        "q_customers_without_orders": """
+            SELECT c_custkey, c_name FROM customer c
+            WHERE NOT EXISTS (
+                SELECT 1 FROM orders o
+                WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderpriority = '1-URGENT'
+            )
         """,
         "q_sessionize": """
             WITH o AS (

@@ -134,6 +134,29 @@ def _distinct_pairs(cand: rd.Dataset, extra_cols: tuple = (),
     )
 
 
+def distinct_column(ds: rd.Dataset, col: str, n_buckets: int = 1024) -> rd.Dataset:
+    """Exact distributed DISTINCT over one column: per-batch local
+    unique → bounded-bucket groupby dedup (a groupby on the raw value
+    would create one reduce group per distinct value)."""
+
+    def local(b: pd.DataFrame) -> pd.DataFrame:
+        u = b[col].drop_duplicates().to_numpy()
+        return pd.DataFrame({
+            col: u,
+            "bk": (_id_hash(u) % np.uint64(n_buckets)).astype(np.int64),
+        })
+
+    def dd(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(col)[[col]]
+
+    return (
+        ds.map_batches(local, batch_format="pandas")
+        .groupby("bk")
+        .map_groups(dd, batch_format="pandas")
+        .repartition(16)
+    )
+
+
 def _pair_counts(cand: rd.Dataset, n_buckets: int = 256) -> rd.Dataset:
     """Exact distributed multiplicity per (a, b) pair row → columns
     (a, b, shared).  Same bounded-bucket shape as

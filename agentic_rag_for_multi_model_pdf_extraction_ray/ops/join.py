@@ -126,6 +126,38 @@ def sized_join(
     )
 
 
+def shuffle_anti_join(
+    left: rd.Dataset,
+    right_keys: rd.Dataset,
+    on: str,
+    right_on: str,
+    num_partitions: int = 16,
+) -> rd.Dataset:
+    """EXACT anti join at scale: left_outer against the (distinct)
+    right key column with a match marker, keep null-marker rows.
+
+    The Bloom anti-join (``bloom_semi_join`` inverted) is only a
+    pre-filter — its false positives would wrongly DROP left rows —
+    so the exact form shuffles.  Pass an already-distinct right side
+    (``ops.dedup.distinct_column``) so the join output stays one row
+    per left row."""
+
+    def mark(b: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        return pd.DataFrame({right_on: b[right_on].to_numpy(),
+                             "__matched": np.ones(len(b), dtype=np.int8)})
+
+    marked = right_keys.map_batches(mark, batch_format="pandas")
+    j = sized_join(left, marked, "left_outer", on=(on,), right_on=(right_on,),
+                   requested_partitions=num_partitions)
+
+    def keep_unmatched(b: pd.DataFrame) -> pd.DataFrame:
+        return b[b["__matched"].isna()].drop(columns=["__matched"])
+
+    return j.map_batches(keep_unmatched, batch_format="pandas")
+
+
 def shuffle_join(
     left: rd.Dataset,
     right: rd.Dataset,

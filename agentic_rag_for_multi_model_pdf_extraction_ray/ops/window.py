@@ -45,6 +45,48 @@ def tumbling_window(events: rd.Dataset, key: str = "event_type",
     )
 
 
+def hopping_window(events: rd.Dataset, key: str = "event_type",
+                   window_sec: int = 3600, hop_sec: int = 900) -> rd.Dataset:
+    """Hopping (sliding) windows: count + sum(value) per (key,
+    window_start) where windows are ``window_sec`` long and start
+    every ``hop_sec`` (window_sec must be a multiple of hop_sec).
+
+    Each event belongs to exactly window/hop windows — the map stage
+    explodes it into that many (key, window_start) rows (bounded ×K
+    amplification), then the same partial-aggregating groupby as the
+    tumbling window.  window_start is int64 epoch seconds so the
+    comparison can't hit timestamp-unit drift."""
+    if window_sec % hop_sec:
+        raise ValueError("window_sec must be a multiple of hop_sec")
+    k = window_sec // hop_sec
+
+    from ..functions.rounding import cents
+
+    import numpy as np
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        us = batch["ts"].astype("int64").to_numpy()  # microseconds
+        base = us // (hop_sec * 1_000_000)  # hop index of each event
+        i = np.arange(k, dtype=np.int64)
+        starts = ((base[:, None] - i[None, :]) * hop_sec).reshape(-1)
+        return pd.DataFrame({
+            key: np.repeat(batch[key].to_numpy(), k),
+            "window_start": starts,
+            "value_cents": np.repeat(cents(batch["value"].to_numpy()), k),
+        })
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["sum_value"] = batch["value_cents"] / 100.0
+        return batch.drop(columns=["value_cents"])
+
+    return (
+        events.map_batches(explode, batch_format="pandas")
+        .groupby([key, "window_start"])
+        .aggregate(Count(alias_name="n"), Sum("value_cents", alias_name="value_cents"))
+        .map_batches(finish, batch_format="pandas")
+    )
+
+
 def sessionize(events: rd.Dataset, key: str = "user_id",
                gap_sec: int = SESSION_GAP_SEC) -> rd.Dataset:
     """Per-key session windows: a new session starts when the gap to
