@@ -805,6 +805,33 @@ def _q_knn_store(sf_dir: str):
     return hits
 
 
+def _q_knn_ivf(sf_dir: str):
+    """Top-10 via the persisted IVF index (centroid-bucketed
+    partitions, ops/similarity.build_ivf_index_store): the query
+    scans only the nprobe nearest centroids' files.  Approximate →
+    rows-only; exactness oracle is q_knn (full-probe equality tested
+    in tests/test_index_store.py)."""
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from agentic_rag_for_multi_model_pdf_extraction_ray.ops.similarity import (
+        build_ivf_index_store,
+        query_ivf_index,
+    )
+    from agentic_rag_for_multi_model_pdf_extraction_ray.sources.corpus import read_table
+
+    emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    q = np.array(emb.filter(pc.equal(emb["vec_id"], 0))["embedding"].to_pylist()[0])
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    idx = "/tmp/graft_knn_ivf_index"
+    shutil.rmtree(idx, ignore_errors=True)
+    build_ivf_index_store(ds, idx, n_centroids=16)
+    hits, stats = query_ivf_index(idx, q, k=10, nprobe=4, exclude_ids={0})
+    assert stats["files_read"] < stats["buckets_total"], "no pruning happened"
+    return hits
+
+
 def _q_cosine_pairs_lsh(sf_dir: str):
     """Scale-path cosine near-dup: banded sign-LSH candidates +
     exact-cosine verify (ops/dedup.cosine_lsh_pair_ds).  Approximate
@@ -911,6 +938,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_ngram_jaccard": _q_ngram_jaccard,
         "q_knn_lsh": _q_knn_lsh,
         "q_knn_store": _q_knn_store,
+        "q_knn_ivf": _q_knn_ivf,
         "q_cosine_pairs_lsh": _q_cosine_pairs_lsh,
         "q_validated_chunks": _q_validated_chunks,
         "q_classified_spans": _q_classified_spans,

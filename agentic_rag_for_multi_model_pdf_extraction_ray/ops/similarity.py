@@ -241,6 +241,121 @@ def query_lsh_index(index_dir: str, query_vec: np.ndarray, k: int = 10,
     return hits, stats
 
 
+# ---------- IVF (centroid-bucketed) index ----------
+
+
+def train_ivf_centroids(ds: rd.Dataset, n_centroids: int = 64,
+                        sample_rate: float = 1.0, iters: int = 10,
+                        id_col: str = "vec_id", vec_col: str = "embedding",
+                        seed: int = 11) -> np.ndarray:
+    """Deterministic IVF training: hash-sampled vectors → Lloyd's
+    k-means on the (small) sample.  Training on a driver-side sample
+    is the standard IVF recipe (FAISS does the same); the full corpus
+    is never collected — only ``sample_rate`` of it, which the caller
+    sizes to O(centroids × 1000) rows."""
+    from ..functions.hashing import stable_hash64
+
+    def sampled(b: pd.DataFrame) -> pd.DataFrame:
+        if sample_rate >= 1.0:
+            return b[[id_col, vec_col]]
+        keep = [
+            (stable_hash64(f"{seed}:{i}") % 1_000_000) / 1_000_000 < sample_rate
+            for i in b[id_col]
+        ]
+        return b[[id_col, vec_col]][np.asarray(keep, dtype=bool)]
+
+    s = ds.map_batches(sampled, batch_format="pandas").to_pandas()
+    s = s.sort_values(id_col)  # deterministic regardless of block order
+    X = _normalize(np.stack(s[vec_col].to_numpy()).astype(np.float64))
+    k = min(n_centroids, len(X))
+    C = X[:k].copy()  # deterministic init: first k by id order
+    for _ in range(iters):
+        assign = np.argmax(X @ C.T, axis=1)  # cosine on normalized rows
+        for j in range(k):
+            m = assign == j
+            if m.any():
+                v = X[m].mean(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    C[j] = v / n
+    return C
+
+
+def build_ivf_index_store(ds: rd.Dataset, index_dir: str, n_centroids: int = 64,
+                          id_col: str = "vec_id", vec_col: str = "embedding",
+                          seed: int = 11, sample_rate: float = 1.0,
+                          iters: int = 10) -> list[dict]:
+    """Persist an IVF index: vectors partitioned by nearest centroid
+    (``part=<cid>`` + manifests, centroids in ``_INDEX.json``).
+    Assignment is one broadcast GEMM per batch."""
+    import json
+    import os
+
+    import pyarrow as pa
+    import ray
+
+    from ..state.manifest import write_partition
+
+    C = train_ivf_centroids(ds, n_centroids, sample_rate, iters,
+                            id_col, vec_col, seed)
+    c_ref = ray.put(C)
+
+    def assign(b: pd.DataFrame) -> pd.DataFrame:
+        Cm = ray.get(c_ref)
+        M = _normalize(_as_matrix(b[vec_col]))
+        b = b.copy()
+        b["bucket"] = np.argmax(M @ Cm.T, axis=1).astype(np.int64)
+        return b
+
+    def write_group(group: pa.Table) -> pa.Table:
+        part = int(group.column("bucket")[0].as_py())
+        data = group.drop_columns(["bucket"]).sort_by(id_col)
+        m = write_partition(index_dir, part, data, f"rows={data.num_rows}")
+        return pa.Table.from_pylist([{"part": part, "rows": data.num_rows,
+                                      "status": m["status"]}])
+
+    out = (
+        ds.map_batches(assign, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(write_group, batch_format="pyarrow")
+        .take_all()  # tiny: one row per non-empty centroid
+    )
+    os.makedirs(index_dir, exist_ok=True)
+    with open(os.path.join(index_dir, "_INDEX.json"), "w") as f:
+        json.dump({"kind": "ivf", "centroids": C.tolist(),
+                   "id_col": id_col, "vec_col": vec_col}, f)
+    return out
+
+
+def query_ivf_index(index_dir: str, query_vec: np.ndarray, k: int = 10,
+                    nprobe: int = 4, exclude_ids: set | None = None):
+    """Top-k against a persisted IVF index: scan only the ``nprobe``
+    nearest centroids' partitions.  Returns (hits, stats)."""
+    import json
+    import os
+
+    with open(os.path.join(index_dir, "_INDEX.json")) as f:
+        meta = json.load(f)
+    C = np.asarray(meta["centroids"], dtype=np.float64)
+    q = np.asarray(query_vec, dtype=np.float64)
+    q = q / (np.linalg.norm(q) or 1.0)
+    order = np.argsort(-(C @ q))
+    probe = order[:min(nprobe, len(order))]
+    files = []
+    for b in sorted(int(x) for x in probe):
+        path = os.path.join(index_dir, f"part={b}", "data.parquet")
+        if os.path.isfile(path):
+            files.append(path)
+    stats = {"buckets_total": len(C), "buckets_probed": len(probe),
+             "files_read": len(files)}
+    if not files:
+        return pd.DataFrame({meta["id_col"]: [], "score": []}), stats
+    cand = rd.read_parquet(files)
+    hits = knn_bruteforce(cand, query_vec, k, meta["id_col"], meta["vec_col"],
+                          exclude_ids=exclude_ids)
+    return hits, stats
+
+
 def retrieval_with_figure_boost(hits: pd.DataFrame, figure_hits: pd.DataFrame,
                                 text_col: str = "text") -> pd.DataFrame:
     """Reference J2 (orchestrator.py:120-127): union of general top-k

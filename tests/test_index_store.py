@@ -55,6 +55,30 @@ def test_persisted_index_prunes_and_ranks(tmp_path):
     assert hits_all["vec_id"].tolist() == brute["vec_id"].tolist()
 
 
+def test_ivf_index_prunes_and_full_probe_exact(tmp_path):
+    from agentic_rag_for_multi_model_pdf_extraction_ray.ops.similarity import (
+        build_ivf_index_store,
+        query_ivf_index,
+    )
+
+    M, ds = _vectors(n=400, d=24, seed=9)
+    idx = str(tmp_path / "ivf")
+    rows = build_ivf_index_store(ds, idx, n_centroids=16)
+    assert sum(r["rows"] for r in rows) == 400
+
+    q = M[7]
+    hits, stats = query_ivf_index(idx, q, k=5, nprobe=4, exclude_ids={7})
+    assert stats["files_read"] <= 4 < stats["buckets_total"]
+    assert len(hits) == 5
+    brute = knn_bruteforce(ds, q, k=5, exclude_ids={7})
+    recall = len(set(hits["vec_id"]) & set(brute["vec_id"])) / 5
+    assert recall >= 0.6
+
+    hits_all, stats_all = query_ivf_index(idx, q, k=5, nprobe=16,
+                                          exclude_ids={7})
+    assert hits_all["vec_id"].tolist() == brute["vec_id"].tolist()
+
+
 def _chunks(texts):
     return rd.from_pandas(pd.DataFrame({
         "chunk_id": list(texts),
