@@ -604,6 +604,32 @@ def _q_top_events_per_user(sf_dir: str):
                            n=3, ascending=[False, True])
 
 
+def _q_char_entropy(sf_dir: str):
+    """Per-doc character-entropy quality signal (Shannon bits) —
+    vectorized map, no shuffle; exact vs DuckDB's entropy() over the
+    unnested characters.  Docs with empty text are dropped (unnest of
+    an empty list yields no rows in the oracle)."""
+    from agentic_rag_for_multi_model_pdf_extraction_ray.functions.rounding import (
+        round_half_up,
+    )
+    from agentic_rag_for_multi_model_pdf_extraction_ray.functions.text import (
+        char_entropy_batch,
+    )
+    from agentic_rag_for_multi_model_pdf_extraction_ray.sources.corpus import read_table
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def f(b: pd.DataFrame) -> pd.DataFrame:
+        sub = b[b["text"].fillna("").str.len() > 0]
+        return pd.DataFrame({
+            "doc_id": sub["doc_id"].to_numpy(),
+            "char_entropy": round_half_up(
+                char_entropy_batch(sub["text"]).to_numpy(), 6),
+        })
+
+    return docs.map_batches(f, batch_format="pandas")
+
+
 def _q_repetition_ratio(sf_dir: str):
     """Within-document token repetition (Gopher-style repetition
     filter signal): 1 - distinct_tokens/total_tokens, half-up 6dp."""
@@ -926,6 +952,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_top_events_per_user": _q_top_events_per_user,
         "q_approx_distinct_users": _q_approx_distinct_users,
         "q_repetition_ratio": _q_repetition_ratio,
+        "q_char_entropy": _q_char_entropy,
         # extraction engine (rows-only checks; pytest holds the strict gate)
         "q_extract_spans": _q_extract_spans,
         "q_extract_documents": _q_extract_documents,
@@ -1163,6 +1190,13 @@ def oracle_sql() -> dict[str, str]:
         "q_event_median_hist": """
             SELECT event_type, median(value) AS median_value
             FROM events GROUP BY event_type
+        """,
+        "q_char_entropy": """
+            SELECT doc_id,
+                   floor(entropy(ch) * 1000000 + 0.5) / 1000000 AS char_entropy
+            FROM (SELECT doc_id, unnest(string_split(text, '')) AS ch
+                  FROM documents WHERE len(text) > 0)
+            GROUP BY doc_id
         """,
         "q_repetition_ratio": """
             SELECT doc_id,

@@ -141,3 +141,22 @@ def fingerprint_batch(texts: pd.Series) -> pd.Series:
     import hashlib
 
     return texts.fillna("").map(lambda s: hashlib.md5(s.encode("utf-8")).hexdigest())
+
+
+def char_entropy(text: str) -> float:
+    """Shannon entropy (bits) of the character distribution — a cheap
+    gibberish/boilerplate quality signal (low entropy = repeated
+    filler, near-random bytes score high).  Matches DuckDB's
+    ``entropy()`` aggregate over the unnested characters."""
+    import numpy as np
+
+    if not text:
+        return 0.0
+    arr = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32)
+    _, counts = np.unique(arr, return_counts=True)
+    p = counts / counts.sum()
+    return float(-(p * np.log2(p)).sum())
+
+
+def char_entropy_batch(texts: pd.Series) -> pd.Series:
+    return texts.fillna("").map(char_entropy)
