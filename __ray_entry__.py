@@ -531,6 +531,20 @@ def _q_sample_deterministic(sf_dir: str):
     return bernoulli_sample(docs, key_col="doc_id", rate=0.2)
 
 
+def _q_weighted_sample(sf_dir: str):
+    """Weight-proportional (length-weighted) sample, expected size 50;
+    Σw is one exact integer aggregate, the threshold expression
+    mirrors the SQL float-for-float."""
+    from agentic_rag_for_multi_model_pdf_extraction_ray.ops.sample import (
+        weighted_bernoulli_sample,
+    )
+    from agentic_rag_for_multi_model_pdf_extraction_ray.sources.corpus import read_table
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    return weighted_bernoulli_sample(docs, key_col="doc_id",
+                                     weight_col="n_chars", target_k=50)
+
+
 def _q_stratified_sample(sf_dir: str):
     from agentic_rag_for_multi_model_pdf_extraction_ray.ops.sample import (
         stratified_head,
@@ -945,6 +959,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_embed_label_norms": _q_embed_label_norms,
         "q_sample_deterministic": _q_sample_deterministic,
         "q_stratified_sample": _q_stratified_sample,
+        "q_weighted_sample": _q_weighted_sample,
         "q_event_median": _q_event_median,
         "q_event_median_hist": _q_event_median_hist,
         "q_top_tokens": _q_top_tokens,
@@ -1175,6 +1190,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_chars FROM documents
             WHERE ((('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 1000000)
                    / 1000000.0) < 0.2
+        """,
+        "q_weighted_sample": """
+            SELECT doc_id, n_chars FROM documents
+            WHERE ((('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 1000000)
+                   / 1000000.0)
+                  < (50 * n_chars * 1.0)
+                    / (SELECT sum(n_chars) FROM documents)
         """,
         "q_stratified_sample": """
             SELECT doc_id, lang FROM (

@@ -73,6 +73,29 @@ def grouped_median(ds: rd.Dataset, group_col: str, value_col: str,
     return ds.groupby(group_col).map_groups(med, batch_format="pandas")
 
 
+def weighted_bernoulli_sample(ds: rd.Dataset, key_col: str, weight_col: str,
+                              target_k: int) -> rd.Dataset:
+    """Weight-proportional sampling with expected size ``target_k``:
+    keep a row iff ``hash_frac(key) < target_k · w / Σw`` — the
+    quality-weighted corpus sampling a training-data pipeline uses
+    (weight = doc length, quality score, ...).
+
+    Deterministic and exactly SQL-mirrorable: the hash fraction is the
+    same md5 construction as :func:`bernoulli_sample`, Σw is an exact
+    integer sum (one tiny aggregate — no driver loop), and the
+    threshold expression is evaluated with the same float64 op order
+    as the DuckDB oracle."""
+    total = int(ds.sum(weight_col))
+
+    def filt(batch: pd.DataFrame) -> pd.DataFrame:
+        hf = _hash_frac(batch[key_col]).to_numpy()
+        w = batch[weight_col].to_numpy()
+        thr = (target_k * w * 1.0) / total
+        return batch[hf < thr]
+
+    return ds.map_batches(filt, batch_format="pandas")
+
+
 def grouped_median_histogram(ds: rd.Dataset, group_col: str, value_col: str,
                              alias: str = "median", scale: int = 100) -> rd.Dataset:
     """Exact per-group median for FIXED-PRECISION values (e.g. cents)

@@ -86,6 +86,47 @@ def thumbnail_rgb(rgb: np.ndarray, max_px: int = 64) -> np.ndarray:
     return rgb[yi[:, None], xi[None, :]]
 
 
+def sample_video_frames(data: bytes, width: int, height: int,
+                        stride: int = 1, max_frames: int | None = None
+                        ) -> np.ndarray | None:
+    """Raw RGB24 frame-concatenated video buffer → sampled frames
+    (F', h, w, 3) uint8, pure numpy (every ``stride``-th frame, up to
+    ``max_frames``).  Container formats (mp4/webm) need a codec and
+    stay behind the gated stub; raw buffers — the layout a decode
+    actor upstream would emit — are handled for real.  Short/ragged
+    buffers → None (same skip contract as pixmap_to_rgb)."""
+    frame_bytes = int(width) * int(height) * 3
+    buf = np.frombuffer(data or b"", dtype=np.uint8)
+    if frame_bytes <= 0 or len(buf) < frame_bytes:
+        return None
+    n = len(buf) // frame_bytes
+    frames = buf[:n * frame_bytes].reshape(n, int(height), int(width), 3)
+    out = frames[::max(1, int(stride))]
+    if max_frames is not None:
+        out = out[:max_frames]
+    return out
+
+
+def audio_features_pcm16(data: bytes, sample_rate: int = 16000) -> dict | None:
+    """Raw mono int16 PCM → deterministic features, pure numpy:
+    duration, RMS energy, zero-crossing rate, peak amplitude.
+    Compressed audio (mp3/ogg) needs a codec — gated; raw PCM is the
+    real path."""
+    if not data or len(data) < 2 or len(data) % 2:
+        return None
+    x = np.frombuffer(data, dtype=np.int16).astype(np.float64)
+    n = len(x)
+    rms = float(np.sqrt((x * x).mean()))
+    zc = float(np.count_nonzero(np.signbit(x[1:]) != np.signbit(x[:-1])) / max(1, n - 1))
+    return {
+        "n_samples": n,
+        "duration_sec": n / float(sample_rate),
+        "rms": rms,
+        "zero_crossing_rate": zc,
+        "peak": float(np.abs(x).max()),
+    }
+
+
 def explode_media_batch(batch: pa.Table) -> pa.Table:
     """documents_raw → one row per media object (vectorized via Arrow
     list offsets)."""

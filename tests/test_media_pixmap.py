@@ -62,6 +62,42 @@ def test_thumbnail_keeps_aspect_and_small_passthrough():
     assert thumbnail_rgb(small, 64) is small
 
 
+def test_video_frame_sampling_raw_buffer():
+    from agentic_rag_for_multi_model_pdf_extraction_ray.stages.media import (
+        sample_video_frames,
+    )
+
+    w, h, f = 8, 6, 10
+    vid = np.arange(f * h * w * 3, dtype=np.uint64).astype(np.uint8)
+    frames = sample_video_frames(vid.tobytes(), w, h, stride=3)
+    assert frames.shape == (4, h, w, 3)  # frames 0, 3, 6, 9
+    full = vid.reshape(f, h, w, 3)
+    assert np.array_equal(frames[1], full[3])
+    capped = sample_video_frames(vid.tobytes(), w, h, stride=1, max_frames=2)
+    assert capped.shape == (2, h, w, 3)
+    # ragged tail: trailing partial frame dropped, not an error
+    assert sample_video_frames(vid.tobytes()[:-5], w, h).shape[0] == f - 1
+    assert sample_video_frames(b"\x00" * 10, w, h) is None
+
+
+def test_audio_features_pcm16():
+    from agentic_rag_for_multi_model_pdf_extraction_ray.stages.media import (
+        audio_features_pcm16,
+    )
+
+    t = np.arange(16000, dtype=np.float64) / 16000.0
+    x = (10000 * np.sin(2 * np.pi * 440 * t)).astype(np.int16)
+    feats = audio_features_pcm16(x.tobytes(), sample_rate=16000)
+    assert feats["n_samples"] == 16000
+    assert abs(feats["duration_sec"] - 1.0) < 1e-9
+    # sine RMS ≈ amplitude/√2; 440 Hz crosses zero ~880 times/sec
+    assert abs(feats["rms"] - 10000 / np.sqrt(2)) < 100
+    assert abs(feats["zero_crossing_rate"] * 16000 - 880) < 10
+    assert feats["peak"] <= 10000
+    assert audio_features_pcm16(b"\x01") is None  # odd length
+    assert audio_features_pcm16(b"") is None
+
+
 def test_extractor_uses_raw_samples_path():
     w, h = 100, 90
     raw = np.random.RandomState(0).randint(0, 256, size=(h, w, 3),
