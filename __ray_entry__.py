@@ -563,6 +563,20 @@ def _q_event_median(sf_dir: str):
     return grouped_median(ev, "event_type", "value", alias="median_value")
 
 
+def _q_event_quantiles(sf_dir: str):
+    """p25/p50/p95 per event type from one histogram pass (DuckDB
+    quantile_disc semantics)."""
+    from agentic_rag_for_multi_model_pdf_extraction_ray.ops.sample import (
+        grouped_quantiles_histogram,
+    )
+    from agentic_rag_for_multi_model_pdf_extraction_ray.sources.corpus import read_table
+
+    ev = read_table(sf_dir, "events", columns=["event_type", "value"])
+    return grouped_quantiles_histogram(
+        ev, "event_type", "value",
+        quantiles={"p25": 0.25, "p50": 0.5, "p95": 0.95}, scale=100)
+
+
 def _q_event_median_hist(sf_dir: str):
     """Scale-path exact median: mergeable per-batch cents histograms —
     per-group memory bounded by DISTINCT values, not row count (the
@@ -962,6 +976,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_weighted_sample": _q_weighted_sample,
         "q_event_median": _q_event_median,
         "q_event_median_hist": _q_event_median_hist,
+        "q_event_quantiles": _q_event_quantiles,
         "q_top_tokens": _q_top_tokens,
         "q_asof_join": _q_asof_join,
         "q_top_events_per_user": _q_top_events_per_user,
@@ -1211,6 +1226,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_event_median_hist": """
             SELECT event_type, median(value) AS median_value
+            FROM events GROUP BY event_type
+        """,
+        "q_event_quantiles": """
+            SELECT event_type,
+                   quantile_disc(value, 0.25) AS p25,
+                   quantile_disc(value, 0.5)  AS p50,
+                   quantile_disc(value, 0.95) AS p95
             FROM events GROUP BY event_type
         """,
         "q_char_entropy": """

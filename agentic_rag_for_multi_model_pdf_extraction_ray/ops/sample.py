@@ -145,6 +145,47 @@ def grouped_median_histogram(ds: rd.Dataset, group_col: str, value_col: str,
     )
 
 
+def grouped_quantiles_histogram(ds: rd.Dataset, group_col: str, value_col: str,
+                                quantiles: dict[str, float],
+                                scale: int = 100) -> rd.Dataset:
+    """Exact per-group discrete quantiles for fixed-precision values
+    via the same mergeable partial histograms as
+    :func:`grouped_median_histogram` — one pass, any number of
+    quantiles, per-group memory bounded by distinct values.
+
+    DuckDB ``quantile_disc`` semantics: the value at 1-based position
+    ``max(1, ceil(q·n))`` of the sorted group.  ``quantiles`` maps
+    output column name → q."""
+
+    def partial_hist(batch: pd.DataFrame) -> pd.DataFrame:
+        v = batch[value_col].to_numpy(dtype=np.float64)
+        iv = np.rint(v * scale)
+        if not np.allclose(iv / scale, v, rtol=0, atol=1e-9):
+            raise ValueError(
+                f"{value_col} is not fixed-precision at scale={scale}")
+        df = pd.DataFrame({group_col: batch[group_col],
+                           "iv": iv.astype(np.int64)})
+        return df.groupby([group_col, "iv"], sort=False).size().reset_index(name="n")
+
+    def merge_q(group: pd.DataFrame) -> pd.DataFrame:
+        h = group.groupby("iv", sort=True)["n"].sum()
+        counts = h.to_numpy()
+        vals = h.index.to_numpy().astype(np.float64) / scale
+        cum = np.cumsum(counts)
+        total = int(cum[-1])
+        out = {group_col: [group[group_col].iloc[0]]}
+        for name, q in quantiles.items():
+            pos = max(1, int(np.ceil(q * total)))
+            out[name] = [float(vals[np.searchsorted(cum, pos)])]
+        return pd.DataFrame(out)
+
+    return (
+        ds.map_batches(partial_hist, batch_format="pandas")
+        .groupby(group_col)
+        .map_groups(merge_q, batch_format="pandas")
+    )
+
+
 def top_tokens(ds: rd.Dataset, text_col: str, k: int = 20) -> pd.DataFrame:
     """Top-k whitespace tokens by total count across the corpus.
 
