@@ -24,6 +24,38 @@ def read_table(sf_dir: str, name: str, columns: list[str] | None = None) -> rd.D
     return rd.read_parquet(os.path.join(sf_dir, f"{name}.parquet"), columns=columns)
 
 
+def read_any(path: str, fmt: str | None = None,
+             columns: list[str] | None = None) -> rd.Dataset:
+    """Format-flexible corpus reader: parquet (column-pruned), csv,
+    json/jsonl, lance (when importable).  ``fmt=None`` sniffs from the
+    extension (a directory defaults to parquet, or lance when it has a
+    ``_versions`` dir and the package exists)."""
+    if fmt is None:
+        ext = os.path.splitext(path)[1].lower().lstrip(".")
+        if os.path.isdir(path):
+            fmt = "lance" if (HAVE_LANCE and os.path.exists(
+                os.path.join(path, "_versions"))) else "parquet"
+        elif ext in ("jsonl", "ndjson"):
+            fmt = "json"
+        elif ext in ("parquet", "csv", "json"):
+            fmt = ext
+        else:
+            raise ValueError(f"cannot sniff format of {path}; pass fmt=")
+    if fmt == "parquet":
+        return rd.read_parquet(path, columns=columns)
+    if fmt == "csv":
+        ds = rd.read_csv(path)
+    elif fmt == "json":
+        ds = rd.read_json(path)
+    elif fmt == "lance":
+        if not HAVE_LANCE:
+            raise ImportError("lance is not installed in this environment")
+        ds = rd.read_lance(path)
+    else:
+        raise ValueError(f"unsupported format {fmt!r}")
+    return ds.select_columns(columns) if columns else ds
+
+
 def read_interleaved(path: str) -> rd.Dataset:
     """Read a (doc_id, spans) corpus — Lance when available, else parquet."""
     if HAVE_LANCE and os.path.isdir(path) and os.path.exists(

@@ -209,3 +209,21 @@ def test_query_pipeline_end_to_end():
     assert ans["validation_summary"] is not None
     # extractive answer is fully grounded by construction
     assert ans["validation_summary"]["is_grounded"]
+
+
+def test_read_any_formats(tmp_path):
+    from agentic_rag_for_multi_model_pdf_extraction_ray.sources.corpus import read_any
+
+    df = pd.DataFrame({"doc_id": [1, 2, 3], "text": ["a", "b", "c"]})
+    pq_path = str(tmp_path / "t.parquet")
+    csv_path = str(tmp_path / "t.csv")
+    jsonl_path = str(tmp_path / "t.jsonl")
+    df.to_parquet(pq_path)
+    df.to_csv(csv_path, index=False)
+    df.to_json(jsonl_path, orient="records", lines=True)
+
+    for p in (pq_path, csv_path, jsonl_path):
+        out = read_any(p, columns=["doc_id", "text"]).to_pandas()
+        assert sorted(out["doc_id"].tolist()) == [1, 2, 3], p
+    only = read_any(pq_path, columns=["text"]).to_pandas()
+    assert list(only.columns) == ["text"]
