@@ -632,6 +632,30 @@ def _q_top_events_per_user(sf_dir: str):
                            n=3, ascending=[False, True])
 
 
+def _q_props_extract(sf_dir: str):
+    """JSON field extraction from the events props column (compiled
+    vectorized regex — the M9 lenient-JSON family applied at scale)
+    → exact integer sums per event type."""
+    from ray.data.aggregate import Count, Sum
+
+    from agentic_rag_for_multi_model_pdf_extraction_ray.sources.corpus import read_table
+
+    ev = read_table(sf_dir, "events", columns=["event_type", "props"])
+
+    def extract(b: pd.DataFrame) -> pd.DataFrame:
+        k = b["props"].str.extract(r'"k":\s*(-?\d+)', expand=False)
+        return pd.DataFrame({
+            "event_type": b["event_type"],
+            "k": k.fillna(0).astype("int64"),
+        })
+
+    return (
+        ev.map_batches(extract, batch_format="pandas")
+        .groupby("event_type")
+        .aggregate(Sum("k", alias_name="sum_k"), Count(alias_name="n"))
+    )
+
+
 def _q_char_entropy(sf_dir: str):
     """Per-doc character-entropy quality signal (Shannon bits) —
     vectorized map, no shuffle; exact vs DuckDB's entropy() over the
@@ -983,6 +1007,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_approx_distinct_users": _q_approx_distinct_users,
         "q_repetition_ratio": _q_repetition_ratio,
         "q_char_entropy": _q_char_entropy,
+        "q_props_extract": _q_props_extract,
         # extraction engine (rows-only checks; pytest holds the strict gate)
         "q_extract_spans": _q_extract_spans,
         "q_extract_documents": _q_extract_documents,
@@ -1233,6 +1258,13 @@ def oracle_sql() -> dict[str, str]:
                    quantile_disc(value, 0.25) AS p25,
                    quantile_disc(value, 0.5)  AS p50,
                    quantile_disc(value, 0.95) AS p95
+            FROM events GROUP BY event_type
+        """,
+        "q_props_extract": """
+            SELECT event_type,
+                   CAST(sum(COALESCE(CAST(json_extract(props, '$.k') AS BIGINT), 0))
+                        AS BIGINT) AS sum_k,
+                   count(*) AS n
             FROM events GROUP BY event_type
         """,
         "q_char_entropy": """
