@@ -157,11 +157,14 @@ def distinct_column(ds: rd.Dataset, col: str, n_buckets: int = 1024) -> rd.Datas
     )
 
 
-def _pair_counts(cand: rd.Dataset, n_buckets: int = 256) -> rd.Dataset:
+def _pair_counts(cand: rd.Dataset, n_buckets: int = 256,
+                 weight_col: str | None = None) -> rd.Dataset:
     """Exact distributed multiplicity per (a, b) pair row → columns
     (a, b, shared).  Same bounded-bucket shape as
     :func:`_distinct_pairs`; all occurrences of a pair hash to one
-    bucket, so the per-bucket size() is the exact global count."""
+    bucket, so the per-bucket count is the exact global one.  With
+    ``weight_col``, rows carry partial counts (map-side combiner) that
+    are summed instead of counted."""
 
     def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
         b = b.copy()
@@ -170,8 +173,11 @@ def _pair_counts(cand: rd.Dataset, n_buckets: int = 256) -> rd.Dataset:
         return b
 
     def count(g: pd.DataFrame) -> pd.DataFrame:
-        return (g.groupby(["a", "b"], sort=False).size()
-                .reset_index(name="shared"))
+        if weight_col is None:
+            return (g.groupby(["a", "b"], sort=False).size()
+                    .reset_index(name="shared"))
+        return (g.groupby(["a", "b"], sort=False)[weight_col].sum()
+                .reset_index().rename(columns={weight_col: "shared"}))
 
     return (
         cand.map_batches(add_bucket, batch_format="pandas")
@@ -728,14 +734,22 @@ def ngram_jaccard_pair_ds(ds: rd.Dataset, n: int = 3, threshold: float = 0.5,
         return pd.DataFrame({"doc_id": np.concatenate(ids), "gram": g,
                              "gk": g % n_super_buckets})
 
+    def bucket_pair_counts(g: pd.DataFrame) -> pd.DataFrame:
+        # map-side combiner: collapse this bucket's per-gram pair rows
+        # into partial counts before the pair-hash shuffle
+        m = _within_bucket_pairs(g, "gram", "doc_id", cap=pair_cap)
+        if not len(m):
+            return pd.DataFrame({"a": m.get("a", pd.Series(dtype=object)),
+                                 "b": m.get("b", pd.Series(dtype=object)),
+                                 "c": pd.Series(dtype="int64")})
+        return m.groupby(["a", "b"], sort=False).size().reset_index(name="c")
+
     cand = _pair_counts(
         feats.map_batches(explode, batch_format="pandas")
         .repartition(32)  # bound the groupby's B^2 shuffle fan-out
         .groupby("gk")
-        .map_groups(
-            lambda g: _within_bucket_pairs(g, "gram", "doc_id", cap=pair_cap),
-            batch_format="pandas",
-        )
+        .map_groups(bucket_pair_counts, batch_format="pandas"),
+        weight_col="c",
     )
 
     def jac(fa: list, fb: list, shared: np.ndarray) -> np.ndarray:
