@@ -632,6 +632,35 @@ def _q_top_events_per_user(sf_dir: str):
                            n=3, ascending=[False, True])
 
 
+def _q_intersect_users(sf_dir: str):
+    """SQL INTERSECT set semantics, distributed (bounded-bucket
+    membership): users who both clicked and purchased."""
+    from agentic_rag_for_multi_model_pdf_extraction_ray.ops.dedup import intersect_keys
+    from agentic_rag_for_multi_model_pdf_extraction_ray.sources.corpus import read_table
+
+    ev = read_table(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def typed(t):
+        return ev.map_batches(
+            lambda b, _t=t: b[b["event_type"] == _t][["user_id"]],
+            batch_format="pandas")
+
+    return intersect_keys(typed("click"), typed("purchase"), "user_id")
+
+
+def _q_except_customers(sf_dir: str):
+    """SQL EXCEPT set semantics, distributed: customer keys with no
+    error event."""
+    from agentic_rag_for_multi_model_pdf_extraction_ray.ops.dedup import except_keys
+    from agentic_rag_for_multi_model_pdf_extraction_ray.sources.corpus import read_table
+
+    cust = read_table(sf_dir, "customer", columns=["c_custkey"])
+    err = read_table(sf_dir, "events", columns=["user_id", "event_type"]).map_batches(
+        lambda b: b[b["event_type"] == "error"][["user_id"]],
+        batch_format="pandas")
+    return except_keys(cust, err, "c_custkey", "user_id")
+
+
 def _q_props_extract(sf_dir: str):
     """JSON field extraction from the events props column (compiled
     vectorized regex — the M9 lenient-JSON family applied at scale)
@@ -1008,6 +1037,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_repetition_ratio": _q_repetition_ratio,
         "q_char_entropy": _q_char_entropy,
         "q_props_extract": _q_props_extract,
+        "q_intersect_users": _q_intersect_users,
+        "q_except_customers": _q_except_customers,
         # extraction engine (rows-only checks; pytest holds the strict gate)
         "q_extract_spans": _q_extract_spans,
         "q_extract_documents": _q_extract_documents,
@@ -1259,6 +1290,16 @@ def oracle_sql() -> dict[str, str]:
                    quantile_disc(value, 0.5)  AS p50,
                    quantile_disc(value, 0.95) AS p95
             FROM events GROUP BY event_type
+        """,
+        "q_intersect_users": """
+            SELECT user_id FROM events WHERE event_type = 'click'
+            INTERSECT
+            SELECT user_id FROM events WHERE event_type = 'purchase'
+        """,
+        "q_except_customers": """
+            SELECT c_custkey FROM customer
+            EXCEPT
+            SELECT user_id FROM events WHERE event_type = 'error'
         """,
         "q_props_extract": """
             SELECT event_type,

@@ -157,6 +157,55 @@ def distinct_column(ds: rd.Dataset, col: str, n_buckets: int = 1024) -> rd.Datas
     )
 
 
+def _set_op_keys(a: rd.Dataset, b: rd.Dataset, col_a: str, col_b: str,
+                 op: str, n_buckets: int = 1024) -> rd.Dataset:
+    """SQL INTERSECT / EXCEPT set semantics over two key columns,
+    distributed: tag each side, per-batch local unique, bounded-bucket
+    groupby, vectorized membership per bucket.  Output column is
+    ``col_a``; all values of one key land in one bucket, so presence
+    tests are exact."""
+    if op not in ("intersect", "except"):
+        raise ValueError(op)
+
+    def tag(side: int, col: str):
+        def f(batch: pd.DataFrame) -> pd.DataFrame:
+            u = batch[col].drop_duplicates().to_numpy()
+            return pd.DataFrame({
+                "v": u,
+                "side": np.full(len(u), side, dtype=np.int8),
+                "bk": (_id_hash(u) % np.uint64(n_buckets)).astype(np.int64),
+            })
+
+        return f
+
+    rows = a.map_batches(tag(0, col_a), batch_format="pandas").union(
+        b.map_batches(tag(1, col_b), batch_format="pandas"))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        in_a = set(g.loc[g["side"] == 0, "v"])
+        in_b = set(g.loc[g["side"] == 1, "v"])
+        keep = (in_a & in_b) if op == "intersect" else (in_a - in_b)
+        return pd.DataFrame({col_a: sorted(keep)})
+
+    return (
+        rows.groupby("bk")
+        .map_groups(per_bucket, batch_format="pandas")
+        .repartition(8)
+    )
+
+
+def intersect_keys(a: rd.Dataset, b: rd.Dataset, col_a: str,
+                   col_b: str | None = None) -> rd.Dataset:
+    """Distinct values present in BOTH datasets (SQL INTERSECT)."""
+    return _set_op_keys(a, b, col_a, col_b or col_a, "intersect")
+
+
+def except_keys(a: rd.Dataset, b: rd.Dataset, col_a: str,
+                col_b: str | None = None) -> rd.Dataset:
+    """Distinct values of ``a`` absent from ``b`` (SQL EXCEPT)."""
+    return _set_op_keys(a, b, col_a, col_b or col_a, "except")
+
+
 def _pair_counts(cand: rd.Dataset, n_buckets: int = 256,
                  weight_col: str | None = None) -> rd.Dataset:
     """Exact distributed multiplicity per (a, b) pair row → columns
