@@ -621,6 +621,47 @@ def _q_asof_join(sf_dir: str):
     })
 
 
+def _q_asof_join_bucketed(sf_dir: str):
+    """Large⋈large as-of join: BOTH sides hash-bucketed on the key and
+    merged per bucket (ops/join.asof_join_bucketed) — the scale path
+    when the right side can't broadcast.  Right side pre-aggregated
+    distributed (bounded-bucket max per (custkey, date)).  Same oracle
+    as q_asof_join."""
+    from agentic_rag_for_multi_model_pdf_extraction_ray.ops.join import (
+        asof_join_bucketed,
+    )
+    from agentic_rag_for_multi_model_pdf_extraction_ray.sources.corpus import read_table
+
+    orders = read_table(
+        sf_dir, "orders", columns=["o_custkey", "o_orderdate", "o_orderkey"])
+
+    def add_bk(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["bk"] = (pd.util.hash_array(b["o_custkey"].to_numpy()) % 256).astype("int64")
+        return b
+
+    def max_per_key_date(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["o_custkey", "o_orderdate"], as_index=False).agg(
+            o_orderkey=("o_orderkey", "max"))
+
+    uniq = (
+        orders.map_batches(add_bk, batch_format="pandas")
+        .groupby("bk")
+        .map_groups(max_per_key_date, batch_format="pandas")
+    )
+    ev = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    out = asof_join_bucketed(
+        ev, uniq, key="user_id", right_key="o_custkey",
+        ts="ts", right_ts="o_orderdate",
+        left_cols=["event_id"], right_cols=["o_orderkey"],
+    ).to_pandas()
+    out = out.dropna(subset=["o_orderkey"])  # inner semantics
+    return pd.DataFrame({
+        "event_id": out["event_id"].astype("int64"),
+        "o_orderkey": out["o_orderkey"].astype("int64"),
+    })
+
+
 def _q_top_events_per_user(sf_dir: str):
     from agentic_rag_for_multi_model_pdf_extraction_ray.ops.sample import (
         stratified_head,
@@ -1032,6 +1073,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_event_quantiles": _q_event_quantiles,
         "q_top_tokens": _q_top_tokens,
         "q_asof_join": _q_asof_join,
+        "q_asof_join_bucketed": _q_asof_join_bucketed,
         "q_top_events_per_user": _q_top_events_per_user,
         "q_approx_distinct_users": _q_approx_distinct_users,
         "q_repetition_ratio": _q_repetition_ratio,
@@ -1332,6 +1374,15 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY token ORDER BY n DESC, token LIMIT 20
         """,
         "q_asof_join": """
+            WITH o AS (
+              SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+              FROM orders GROUP BY o_custkey, o_orderdate
+            )
+            SELECT e.event_id, o.o_orderkey
+            FROM events e ASOF JOIN o
+              ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+        """,
+        "q_asof_join_bucketed": """
             WITH o AS (
               SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
               FROM orders GROUP BY o_custkey, o_orderdate

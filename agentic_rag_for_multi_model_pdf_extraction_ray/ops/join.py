@@ -126,6 +126,69 @@ def sized_join(
     )
 
 
+def asof_join_bucketed(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    key: str,
+    right_key: str,
+    ts: str,
+    right_ts: str,
+    left_cols: list[str],
+    right_cols: list[str],
+    n_buckets: int = 64,
+) -> rd.Dataset:
+    """LARGE⋈LARGE as-of (backward) join: hash-bucket BOTH sides on
+    the key, co-locate with one bounded groupby, vectorized
+    ``pd.merge_asof`` per bucket.
+
+    This is the scale path :func:`asof_join_broadcast`'s docstring
+    promises — use it when the right side is too big to broadcast.
+    Partitioning assumption: ALL rows of a key land in one bucket
+    (hash on the key); a key so hot its bucket overflows a worker
+    needs time-range sub-bucketing on top.  Right rows must be unique
+    per (key, ts) for deterministic output (pre-aggregate upstream).
+    Numeric side-specific columns travel as nullable float64 through
+    the union; cast back downstream."""
+    import numpy as np
+
+    def tag(side: int, k: str, t: str, own: list[str], other: list[str]):
+        def f(b: pd.DataFrame) -> pd.DataFrame:
+            kv = b[k]
+            d = {
+                "bk": (pd.util.hash_array(kv.to_numpy()) % n_buckets).astype("int64"),
+                "side": np.full(len(b), side, dtype=np.int8),
+                "k": kv.to_numpy(),
+                "t": pd.to_datetime(b[t]).to_numpy(),
+            }
+            for c in own:
+                # float64 for schema stability across the union (the
+                # other side fills NaN); cast back downstream
+                d[c] = b[c].to_numpy().astype(np.float64)
+            for c in other:
+                d[c] = np.full(len(b), np.nan)
+            return pd.DataFrame(d)
+
+        return f
+
+    rows = left.map_batches(tag(0, key, ts, left_cols, right_cols),
+                            batch_format="pandas").union(
+        right.map_batches(tag(1, right_key, right_ts, right_cols, left_cols),
+                          batch_format="pandas"))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        l = g[g["side"] == 0][["k", "t", *left_cols]].sort_values(
+            "t", kind="mergesort")
+        r = g[g["side"] == 1][["k", "t", *right_cols]].sort_values(
+            "t", kind="mergesort")
+        if not len(l):
+            return pd.DataFrame(columns=["k", "t", *left_cols, *right_cols])
+        out = pd.merge_asof(l, r, on="t", by="k", direction="backward",
+                            suffixes=("", "_r"))
+        return out[["k", "t", *left_cols, *right_cols]]
+
+    return rows.groupby("bk").map_groups(per_bucket, batch_format="pandas")
+
+
 def shuffle_anti_join(
     left: rd.Dataset,
     right_keys: rd.Dataset,
