@@ -652,14 +652,36 @@ class SimHashStage:
         self.text_col = text_col
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        sigs = []
-        for t in batch[self.text_col]:
-            toks = (t or "").lower().split()
-            sigs.append(simhash64([stable_hash64(w) for w in toks]))
+        # batched: hash each UNIQUE token once (typical 5-10× fewer
+        # blake2b calls), then one ±1-bit matrix + add.reduceat over
+        # per-doc segments — identical to per-doc simhash64 (bit sums
+        # are order-independent)
+        toks_per_doc = [(t or "").lower().split() for t in batch[self.text_col]]
+        vocab: dict = {}
+        for toks in toks_per_doc:
+            for w in toks:
+                if w not in vocab:
+                    vocab[w] = np.uint64(stable_hash64(w))
+        lens = np.array([len(t) for t in toks_per_doc], dtype=np.int64)
+        sigs = np.zeros(len(toks_per_doc), dtype=np.uint64)
+        nz = np.flatnonzero(lens)
+        if len(nz):
+            flat = np.fromiter(
+                (vocab[w] for toks in toks_per_doc for w in toks),
+                dtype=np.uint64, count=int(lens.sum()))
+            bits = ((flat[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+                    & np.uint64(1)).astype(np.int32)
+            signed = bits * 2 - 1
+            starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+            v = np.add.reduceat(signed, starts[nz], axis=0)  # (nnz, 64)
+            pow2 = np.uint64(1) << np.arange(64, dtype=np.uint64)
+            with np.errstate(over="ignore"):
+                sigs[nz] = ((v > 0).astype(np.uint64) * pow2[None, :]).sum(
+                    axis=1, dtype=np.uint64)
         return pd.DataFrame(
             {
                 self.id_col: batch[self.id_col],
-                "simhash": [f"{s:016x}" for s in sigs],
+                "simhash": [f"{int(s):016x}" for s in sigs],
             }
         )
 
