@@ -37,7 +37,6 @@ from ..functions.hashing import (
     _mix64,
     MinHasher,
     char_shingles,
-    simhash64,
     stable_hash64,
 )
 from ..functions.rounding import round_half_up
