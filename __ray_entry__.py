@@ -996,6 +996,34 @@ def _q_cosine_pairs_lsh(sf_dir: str):
         else pd.DataFrame({"a": [], "b": [], "cosine": []})
 
 
+def _q_routed_answer(sf_dir: str):
+    """Full conditionally-routed query flow over the extracted+embedded
+    corpus (pipelines/query.answer_question_routed: quality gate →
+    generate → validate → grounding gate) — one summary row with the
+    route taken and the grounding verdict."""
+    from agentic_rag_for_multi_model_pdf_extraction_ray.pipelines.query import (
+        answer_question_routed,
+    )
+    from agentic_rag_for_multi_model_pdf_extraction_ray.stages.chunk import (
+        transform_chunks,
+    )
+    from agentic_rag_for_multi_model_pdf_extraction_ray.stages.embed import embed
+
+    chunks = transform_chunks(_span_rows_ds(sf_dir), mode="direct")
+    with_vecs = embed(chunks, dim=64, text_col="structured_text", concurrency=1)
+    ans = answer_question_routed(
+        with_vecs, "table of alpha beta measurements", dim=64)
+    return pd.DataFrame({
+        "question": [ans["question"]],
+        "route": ["->".join(ans["route"])],
+        "n_sources": [len(ans["source_chunks"])],
+        "answer_len": [len(ans["answer"] or "")],
+        "is_grounded": [bool(ans["validation_summary"]["is_grounded"])
+                        if ans["validation_summary"] else None],
+        "insufficient_context": [bool(ans["insufficient_context"])],
+    })
+
+
 def _q_validated_chunks(sf_dir: str):
     """Checkpoint A over extracted chunks + A2 outcome counters
     (reference pipeline.py:255-319 accept/correct/discard loop)."""
@@ -1095,6 +1123,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_knn_store": _q_knn_store,
         "q_knn_ivf": _q_knn_ivf,
         "q_cosine_pairs_lsh": _q_cosine_pairs_lsh,
+        "q_routed_answer": _q_routed_answer,
         "q_validated_chunks": _q_validated_chunks,
         "q_classified_spans": _q_classified_spans,
         "q_media_features": _q_media_features,
