@@ -56,6 +56,9 @@ def knn_bruteforce(ds: rd.Dataset, query_vec: np.ndarray, k: int = 10,
         return out.sort_values(["score", id_col], ascending=[False, True]).head(k)
 
     partials = ds.map_batches(partial_topk, batch_format="pandas", batch_size=4096).to_pandas()
+    if partials.empty:  # empty corpus loses the schema entirely
+        return pd.DataFrame({id_col: pd.Series(dtype=object),
+                             "score": pd.Series(dtype="float64")})
     return (
         partials.sort_values(["score", id_col], ascending=[False, True])
         .head(k)

@@ -53,6 +53,11 @@ def retrieve(chunks_with_embeddings: rd.Dataset, question: str,
 
     # join back chunk text for the merged hits (tiny driver-side lookup)
     want = set(hits["chunk_id"]) | set(fig_hits["chunk_id"])
+    if not want:  # empty corpus/retrieval: skip the text lookup
+        return pd.DataFrame({"chunk_id": pd.Series(dtype=object),
+                             "score": pd.Series(dtype="float64"),
+                             "kind": pd.Series(dtype=object),
+                             "text": pd.Series(dtype=object)})
     texts = (
         chunks_with_embeddings.map_batches(
             lambda b: b[b["chunk_id"].isin(want)][["chunk_id", "kind", "structured_text"]],
@@ -124,10 +129,19 @@ def answer_question_routed(chunks_with_embeddings: rd.Dataset, question: str,
 
     hits = retrieve(chunks_with_embeddings, question, top_k=top_k, dim=dim)
     if len(hits) == 0 or float(hits["score"].max()) < min_score:
+        # low-quality first pass → ONE widened re-retrieve (more
+        # context for generation; a bigger k cannot raise the max
+        # score, so the widened pass is judged on hit count only)
         route.append("re_retrieve_widened")
         hits = retrieve(chunks_with_embeddings, question,
                         top_k=top_k * widen_factor, dim=dim)
-    insufficient = len(hits) == 0 or float(hits["score"].max()) < min_score
+        if len(hits) and float(hits["score"].max()) < min_score:
+            warnings.append(
+                "low retrieval confidence; proceeding with widened context")
+    # the hard gate matches the reference exactly: finalize-without-
+    # generation only when NOTHING was retrieved
+    # (check_retrieval_quality_node, langgraph_pipeline.py:104-113)
+    insufficient = len(hits) == 0
     base = {
         "question": question,
         "answer": None,
