@@ -448,9 +448,12 @@ def attach_component_labels(ids: rd.Dataset, labels: rd.Dataset,
         def fill_bc(b: pd.DataFrame) -> pd.DataFrame:
             m = ray.get(ref)
             vals = b[id_col]
+            mapped = vals.map(m)  # dict-map (C path); miss → NaN
+            lab = mapped.where(mapped.notna(), vals)
             return pd.DataFrame({
                 id_col: vals.to_numpy(),
-                out_col: vals.map(lambda x: m.get(x, x)).to_numpy(),
+                out_col: lab.to_numpy().astype(vals.dtype, copy=False)
+                if vals.dtype != object else lab.to_numpy(),
             })
 
         return ids.map_batches(fill_bc, batch_format="pandas")
