@@ -25,13 +25,19 @@ def _ray_session():
     import ray
 
     if not ray.is_initialized():
-        ray.init(
-            address="local",
-            num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "32")),
+        # honor a cluster address (ray job submit sets RAY_ADDRESS) —
+        # hard-coding "local" inside a job would start a private
+        # single-node cluster instead of joining the real one
+        addr = os.environ.get("RAY_ADDRESS", "local")
+        kwargs = dict(
+            address=addr,
             include_dashboard=False,
             ignore_reinit_error=True,
             logging_level="ERROR",
         )
+        if addr == "local":
+            kwargs["num_cpus"] = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+        ray.init(**kwargs)
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
