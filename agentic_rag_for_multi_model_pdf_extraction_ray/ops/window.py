@@ -65,7 +65,9 @@ def hopping_window(events: rd.Dataset, key: str = "event_type",
     import numpy as np
 
     def explode(batch: pd.DataFrame) -> pd.DataFrame:
-        us = batch["ts"].astype("int64").to_numpy()  # microseconds
+        # force microsecond resolution — a bare astype(int64) yields
+        # whatever unit pandas kept (ns vs us varies by version)
+        us = batch["ts"].to_numpy().astype("datetime64[us]").astype("int64")
         base = us // (hop_sec * 1_000_000)  # hop index of each event
         i = np.arange(k, dtype=np.int64)
         starts = ((base[:, None] - i[None, :]) * hop_sec).reshape(-1)
