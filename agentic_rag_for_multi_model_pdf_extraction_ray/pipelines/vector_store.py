@@ -26,7 +26,7 @@ import ray.data as rd
 
 from ..functions.hashing import stable_bucket
 from ..stages.embed import HashingEmbedder, embed
-from ..state.manifest import partition_dir, read_output, write_partition
+from ..state.manifest import partition_dir, read_output_ds, write_partition
 
 
 def upsert_chunks(chunks: rd.Dataset, store_dir: str, dim: int = 384,
@@ -75,7 +75,9 @@ def build_store_index(store_dir: str, index_dir: str, n_bits: int = 6,
     bucket, so queries read only probed buckets' files."""
     from ..ops.similarity import build_lsh_index_store
 
-    ds = rd.from_arrow(read_output(store_dir))
+    # Streaming read of the partition files — the store is never
+    # concatenated on the driver (at scale it is itself a large table).
+    ds = read_output_ds(store_dir)
     return build_lsh_index_store(ds, index_dir, n_bits=n_bits,
                                  id_col="chunk_id", vec_col="embedding",
                                  seed=seed)
@@ -98,9 +100,11 @@ def query_store(store_dir: str, question: str, top_k: int = 8,
         hits, _ = query_lsh_index(index_dir, np.asarray(qv), k=top_k,
                                   n_probes=n_probes, filter_fn=filt)
         return hits
-    table = read_output(store_dir)
-    ds = rd.from_arrow(table)
+    ds = read_output_ds(store_dir)
     if kind is not None:
-        ds = rd.from_arrow(table.filter(pc.equal(table["kind"], kind)))
+        want = kind
+        ds = ds.map_batches(
+            lambda t: t.filter(pc.equal(t["kind"], want)),
+            batch_format="pyarrow")
     return knn_bruteforce(ds, np.asarray(qv), k=top_k, id_col="chunk_id",
                           vec_col="embedding")

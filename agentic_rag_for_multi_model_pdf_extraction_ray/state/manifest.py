@@ -117,13 +117,33 @@ def write_partition(out_dir: str, part: int, table: pa.Table, fingerprint: str,
     return manifest
 
 
-def read_output(out_dir: str) -> pa.Table:
-    """Read back all completed partitions (driver-side, small results)."""
-    parts = sorted(completed_partitions(out_dir))
-    tables = [
-        pq.read_table(os.path.join(partition_dir(out_dir, p), "data.parquet"))
-        for p in parts
+def completed_files(out_dir: str) -> list[str]:
+    """Data files of all completed partitions, in partition order."""
+    return [
+        os.path.join(partition_dir(out_dir, p), "data.parquet")
+        for p in sorted(completed_partitions(out_dir))
     ]
-    if not tables:
+
+
+def read_output(out_dir: str) -> pa.Table:
+    """Read back all completed partitions (driver-side — ONLY for
+    small results like histograms or top-k hits; large stores must use
+    :func:`read_output_ds` so blocks stream through the object store)."""
+    files = completed_files(out_dir)
+    if not files:
         raise FileNotFoundError(f"no completed partitions under {out_dir}")
-    return pa.concat_tables(tables)
+    return pa.concat_tables([pq.read_table(f) for f in files])
+
+
+def read_output_ds(out_dir: str):
+    """Read back all completed partitions as a streaming Ray Dataset.
+
+    The scale path: partition files feed ``ray.data.read_parquet``
+    directly, so the store never materializes on the driver — at 100 TB
+    the chunk store is itself a large table."""
+    import ray.data as rd
+
+    files = completed_files(out_dir)
+    if not files:
+        raise FileNotFoundError(f"no completed partitions under {out_dir}")
+    return rd.read_parquet(files)

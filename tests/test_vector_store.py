@@ -38,6 +38,37 @@ def test_upsert_and_query(tmp_path):
     assert set(fig_hits["chunk_id"]) <= {"c6", "c7"}
 
 
+def test_store_paths_stream_not_driver(tmp_path, monkeypatch):
+    """Index build + brute query must never concat the store on the
+    driver — both go through read_output_ds (rd.read_parquet over the
+    partition files), so poisoning read_output proves it."""
+    from agentic_rag_for_multi_model_pdf_extraction_ray.pipelines.vector_store import (
+        build_store_index,
+    )
+    from agentic_rag_for_multi_model_pdf_extraction_ray.state import manifest
+
+    store = str(tmp_path / "store3")
+    upsert_chunks(_chunks(), store, dim=64, n_partitions=4, concurrency=1)
+
+    def _boom(out_dir):
+        raise AssertionError("driver-side read_output called on the store")
+
+    monkeypatch.setattr(manifest, "read_output", _boom)
+
+    hits = query_store(store, "streaming dataset ray", top_k=3, dim=64)
+    assert len(hits) == 3
+    fig_hits = query_store(store, "architecture diagram", top_k=2, dim=64,
+                           kind="figure")
+    assert set(fig_hits["chunk_id"]) <= {"c6", "c7"}
+
+    idx = str(tmp_path / "idx3")
+    manifests = build_store_index(store, idx, n_bits=4)
+    assert sum(m["rows"] for m in manifests) == 8
+    ihits = query_store(store, "streaming dataset ray", top_k=3, dim=64,
+                        index_dir=idx, n_probes=4)
+    assert len(ihits) >= 1
+
+
 def test_upsert_is_idempotent(tmp_path):
     store = str(tmp_path / "store2")
     upsert_chunks(_chunks(), store, dim=64, n_partitions=4, concurrency=1)
