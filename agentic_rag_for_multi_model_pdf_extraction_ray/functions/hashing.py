@@ -30,6 +30,24 @@ def stable_bucket(s: str, n_buckets: int) -> int:
     return stable_hash64(s) % n_buckets
 
 
+def hash_tokens(tokens) -> np.ndarray:
+    """Vectorized 64-bit hashes of a sequence of token strings.
+
+    pandas' C siphash over the object array (fixed library-default
+    key — deterministic across processes and workers, measured ~4×
+    faster than per-token blake2b and free of per-call Python
+    overhead).  This IS the engine's token-hash contract for the
+    hashing embedder, SimHash and word-n-gram kernels (round 3
+    switched them from per-token ``stable_hash64``; embeddings /
+    signatures changed once, expectations regenerated with it).
+    """
+    if len(tokens) == 0:
+        return np.empty(0, dtype=np.uint64)
+    from pandas.util import hash_array
+
+    return hash_array(np.asarray(tokens, dtype=object), categorize=False)
+
+
 def md5_hex_batch(texts) -> np.ndarray:
     """Vector of md5 hex digests (object array) for an iterable of str."""
     return np.array([hashlib.md5(t.encode("utf-8")).hexdigest() for t in texts], dtype=object)

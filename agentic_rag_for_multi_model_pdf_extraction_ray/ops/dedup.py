@@ -37,7 +37,7 @@ from ..functions.hashing import (
     _mix64,
     MinHasher,
     char_shingles,
-    stable_hash64,
+    hash_tokens,
 )
 from ..functions.rounding import round_half_up
 from ..functions.text import fingerprint_batch
@@ -654,23 +654,16 @@ class SimHashStage:
         self.text_col = text_col
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        # batched: hash each UNIQUE token once (typical 5-10× fewer
-        # blake2b calls), then one ±1-bit matrix + add.reduceat over
-        # per-doc segments — identical to per-doc simhash64 (bit sums
-        # are order-independent)
+        # batched: one vectorized token-hash pass (hash_tokens, C
+        # siphash) then one ±1-bit matrix + add.reduceat over per-doc
+        # segments — identical to per-doc simhash64 (bit sums are
+        # order-independent)
         toks_per_doc = [(t or "").lower().split() for t in batch[self.text_col]]
-        vocab: dict = {}
-        for toks in toks_per_doc:
-            for w in toks:
-                if w not in vocab:
-                    vocab[w] = np.uint64(stable_hash64(w))
         lens = np.array([len(t) for t in toks_per_doc], dtype=np.int64)
         sigs = np.zeros(len(toks_per_doc), dtype=np.uint64)
         nz = np.flatnonzero(lens)
         if len(nz):
-            flat = np.fromiter(
-                (vocab[w] for toks in toks_per_doc for w in toks),
-                dtype=np.uint64, count=int(lens.sum()))
+            flat = hash_tokens([w for toks in toks_per_doc for w in toks])
             bits = ((flat[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
                     & np.uint64(1)).astype(np.int32)
             signed = bits * 2 - 1
@@ -757,24 +750,48 @@ def simhash_near_dups(ds: rd.Dataset, max_hamming: int = 3, concurrency: int = 2
 # ---------- n-gram Jaccard ----------
 
 
-def _gram_hashes(text: str, n: int) -> np.ndarray:
-    """Sorted unique 64-bit hashes of a doc's word n-grams — exact for
-    Jaccard up to 64-bit collisions (~n²/2⁶⁴)."""
-    toks = (text or "").lower().split()
-    if not toks:
-        return np.zeros(0, dtype=np.uint64)
-    if len(toks) < n:
-        return np.array([stable_hash64(" ".join(toks))], dtype=np.uint64)
-    tok_h = np.fromiter((stable_hash64(t) for t in toks), dtype=np.uint64,
-                        count=len(toks))
+def _gram_weights(n: int) -> np.ndarray:
     with np.errstate(over="ignore"):
-        windows = np.lib.stride_tricks.sliding_window_view(tok_h, n)
         weights = np.empty(n, dtype=np.uint64)
         weights[0] = 1
         for i in range(1, n):
             weights[i] = weights[i - 1] * _SHINGLE_BASE
-        h = _mix64((windows * weights[None, ::-1]).sum(axis=1, dtype=np.uint64))
-    return np.unique(h)
+    return weights
+
+
+def _gram_hashes_batch(texts, n: int) -> list[np.ndarray]:
+    """Per-doc sorted unique 64-bit hashes of word n-grams — exact for
+    Jaccard up to 64-bit collisions (~n²/2⁶⁴).
+
+    ONE vectorized token-hash pass (hash_tokens, C siphash) across the
+    whole batch; the remaining per-doc loop only slices the flat hash
+    array and runs the vectorized rolling-polynomial window combine."""
+    toks_per_doc = [(t or "").lower().split() for t in texts]
+    lens = np.array([len(t) for t in toks_per_doc], dtype=np.int64)
+    flat = hash_tokens([w for toks in toks_per_doc for w in toks])
+    offs = np.concatenate([[0], np.cumsum(lens)])
+    weights = _gram_weights(n)[None, ::-1]
+    shorts = [" ".join(toks_per_doc[i]) for i in np.flatnonzero(
+        (lens > 0) & (lens < n))]
+    short_h = iter(hash_tokens(shorts))
+    out: list[np.ndarray] = []
+    for i, L in enumerate(lens):
+        if L == 0:
+            out.append(np.zeros(0, dtype=np.uint64))
+        elif L < n:
+            out.append(np.array([next(short_h)], dtype=np.uint64))
+        else:
+            th = flat[offs[i]:offs[i + 1]]
+            with np.errstate(over="ignore"):
+                windows = np.lib.stride_tricks.sliding_window_view(th, n)
+                h = _mix64((windows * weights).sum(axis=1, dtype=np.uint64))
+            out.append(np.unique(h))
+    return out
+
+
+def _gram_hashes(text: str, n: int) -> np.ndarray:
+    """Single-doc wrapper around :func:`_gram_hashes_batch`."""
+    return _gram_hashes_batch([text], n)[0]
 
 
 def ngram_feature_table(ds: rd.Dataset, n: int = 3, id_col: str = "doc_id",
@@ -783,9 +800,9 @@ def ngram_feature_table(ds: rd.Dataset, n: int = 3, id_col: str = "doc_id",
     feature table feeding both blocking and verification."""
 
     def feats(batch: pd.DataFrame) -> pd.DataFrame:
+        per_doc = _gram_hashes_batch(batch[text_col].tolist(), n)
         ids, blobs, sizes = [], [], []
-        for i, t in zip(batch[id_col], batch[text_col]):
-            h = _gram_hashes(t, n)
+        for i, h in zip(batch[id_col], per_doc):
             if not len(h):
                 continue
             ids.append(i)

@@ -17,7 +17,7 @@ import numpy as np
 import pandas as pd
 import ray.data as rd
 
-from ..functions.hashing import stable_hash64
+from ..functions.hashing import hash_tokens
 
 
 class HashingEmbedder:
@@ -32,9 +32,12 @@ class HashingEmbedder:
 
     def _encode(self, text: str) -> np.ndarray:
         v = np.zeros(self.dim, dtype=np.float32)
-        for tok in text.lower().split():
-            h = stable_hash64(tok)
-            v[h % self.dim] += 1.0 if (h >> 63) else -1.0
+        h = hash_tokens(text.lower().split())
+        if len(h):
+            idx = (h % np.uint64(self.dim)).astype(np.int64)
+            sign = np.where((h >> np.uint64(63)) > 0, np.float32(1.0),
+                            np.float32(-1.0))
+            np.add.at(v, idx, sign)
         n = np.linalg.norm(v)
         return v / n if n > 0 else v
 
@@ -49,8 +52,7 @@ class HashingEmbedder:
         M = np.zeros((len(toks_per_row), self.dim), dtype=np.float32)
         flat = [tok for toks in toks_per_row for tok in toks]
         if flat:
-            h = np.fromiter((stable_hash64(t) for t in flat), dtype=np.uint64,
-                            count=len(flat))
+            h = hash_tokens(flat)  # one C-speed pass, no per-token Python
             idx = (h % np.uint64(self.dim)).astype(np.int64)
             sign = np.where((h >> np.uint64(63)) > 0, np.float32(1.0),
                             np.float32(-1.0))

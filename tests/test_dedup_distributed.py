@@ -145,7 +145,11 @@ def test_simhash_and_ngram_return_dataset_backed_results():
         {"doc_id": 2, "text": base + " qq"},
         {"doc_id": 3, "text": "nothing in common with those documents at all " * 6},
     ]
-    pairs = simhash_near_dups(rd.from_pandas(pd.DataFrame(rows)))
+    # measured under the engine's token-hash contract (hash_tokens):
+    # the one-token edit lands at hamming 6 (unrelated doc: 32) and
+    # the pair still shares an LSH band
+    pairs = simhash_near_dups(rd.from_pandas(pd.DataFrame(rows)), max_hamming=6)
     assert (1, 2) in set(zip(pairs["a"], pairs["b"]))
+    assert 3 not in set(pairs["a"]) | set(pairs["b"])
     j = ngram_jaccard_pairs(rd.from_pandas(pd.DataFrame(rows)), n=3, threshold=0.3)
     assert (1, 2) in set(zip(j["a"], j["b"]))

@@ -88,15 +88,16 @@ def test_minhash_clusters_group_near_dups():
 
 
 def test_simhash_near_dups_finds_pair():
-    # diverse vocabulary (simhash bit-sums far from zero) + one extra
-    # token → hamming <= 3 and at least one shared 16-bit band
+    # one extra token → measured hamming 6 under the engine's
+    # token-hash contract (hash_tokens; unrelated doc: 32) with at
+    # least one shared 16-bit band
     base = " ".join(f"w{i} w{i}" for i in range(80))
     rows = [
         {"doc_id": 1, "text": base},
         {"doc_id": 2, "text": base + " qq"},
         {"doc_id": 3, "text": "nothing in common with those documents at all " * 6},
     ]
-    pairs = simhash_near_dups(_docs(rows))
+    pairs = simhash_near_dups(_docs(rows), max_hamming=6)
     got = set(zip(pairs["a"], pairs["b"]))
     assert (1, 2) in got
     assert (1, 3) not in got and (2, 3) not in got
