@@ -88,6 +88,21 @@ def exact_dedup(ds: rd.Dataset, id_col: str = "doc_id", text_col: str = "text") 
 # ---------- shared pair machinery ----------
 
 
+def _shuffle_width(scale: float = 1.0, floor: int = 4) -> int:
+    """Shuffle width derived from advertised cluster CPUs (like
+    :func:`..ops.join.sized_join`), not pinned to this box's 32.
+
+    ``scale`` multiplies the CPU count (1.0 → one partition per core;
+    0.5 → the post-groupby coalesce width).  On a 1,000-core cluster
+    the dedup shuffles widen accordingly instead of capping at 32."""
+    import ray
+
+    cpus = 8.0
+    if ray.is_initialized():
+        cpus = float(ray.cluster_resources().get("CPU", 8))
+    return max(floor, int(cpus * scale))
+
+
 def _id_hash(values) -> np.ndarray:
     """Deterministic uint64 hash of an id array of ANY dtype (int,
     string, ...) — pandas' siphash with its fixed default key, stable
@@ -123,13 +138,13 @@ def _distinct_pairs(cand: rd.Dataset, extra_cols: tuple = (),
 
     return (
         cand.map_batches(add_bucket, batch_format="pandas")
-        .repartition(32)
+        .repartition(_shuffle_width())
         .groupby("pk")
         .map_groups(dedup, batch_format="pandas")
         # coalesce: groupby emits schema-less empty blocks on empty
         # partitions, which break a downstream Arrow hash join's key
         # resolution — repartition unifies them into schemaed blocks
-        .repartition(16)
+        .repartition(_shuffle_width(0.5))
     )
 
 
@@ -152,7 +167,7 @@ def distinct_column(ds: rd.Dataset, col: str, n_buckets: int = 1024) -> rd.Datas
         ds.map_batches(local, batch_format="pandas")
         .groupby("bk")
         .map_groups(dd, batch_format="pandas")
-        .repartition(16)
+        .repartition(_shuffle_width(0.5))
     )
 
 
@@ -189,7 +204,7 @@ def _set_op_keys(a: rd.Dataset, b: rd.Dataset, col_a: str, col_b: str,
     return (
         rows.groupby("bk")
         .map_groups(per_bucket, batch_format="pandas")
-        .repartition(8)
+        .repartition(_shuffle_width(0.25))
     )
 
 
@@ -229,10 +244,10 @@ def _pair_counts(cand: rd.Dataset, n_buckets: int = 256,
 
     return (
         cand.map_batches(add_bucket, batch_format="pandas")
-        .repartition(32)
+        .repartition(_shuffle_width())
         .groupby("pk")
         .map_groups(count, batch_format="pandas")
-        .repartition(16)
+        .repartition(_shuffle_width(0.5))
     )
 
 
@@ -443,18 +458,32 @@ def attach_component_labels(ids: rd.Dataset, labels: rd.Dataset,
     n_labels = labels.count()
     if n_labels <= broadcast_threshold:
         lab_df = labels.to_pandas()
-        ref = ray.put(dict(zip(lab_df["node"], lab_df["label"])))
+        if lab_df["node"].dtype == object:
+            # string ids: dict map (C path), no numeric round-trip
+            ref = ray.put(dict(zip(lab_df["node"], lab_df["label"])))
 
-        def fill_bc(b: pd.DataFrame) -> pd.DataFrame:
-            m = ray.get(ref)
-            vals = b[id_col]
-            mapped = vals.map(m)  # dict-map (C path); miss → NaN
-            lab = mapped.where(mapped.notna(), vals)
-            return pd.DataFrame({
-                id_col: vals.to_numpy(),
-                out_col: lab.to_numpy().astype(vals.dtype, copy=False)
-                if vals.dtype != object else lab.to_numpy(),
-            })
+            def fill_bc(b: pd.DataFrame) -> pd.DataFrame:
+                vals = b[id_col]
+                mapped = vals.map(ray.get(ref))
+                lab = mapped.where(mapped.notna(), vals)
+                return pd.DataFrame({id_col: vals.to_numpy(),
+                                     out_col: lab.to_numpy()})
+        else:
+            # numeric ids: sorted-key searchsorted lookup, everything
+            # stays in the id dtype — the dict-map path round-trips
+            # misses through float64/NaN and corrupts int64 ≥ 2^53
+            srt = lab_df.sort_values("node", kind="mergesort")
+            ref = ray.put((srt["node"].to_numpy(), srt["label"].to_numpy()))
+
+            def fill_bc(b: pd.DataFrame) -> pd.DataFrame:
+                keys, labs = ray.get(ref)
+                vals = b[id_col].to_numpy()
+                pos = np.searchsorted(keys, vals)
+                posc = np.minimum(pos, len(keys) - 1)
+                hit = (pos < len(keys)) & (keys[posc] == vals)
+                out_arr = vals.copy()
+                out_arr[hit] = labs[posc[hit]]
+                return pd.DataFrame({id_col: vals, out_col: out_arr})
 
         return ids.map_batches(fill_bc, batch_format="pandas")
 
@@ -463,15 +492,19 @@ def attach_component_labels(ids: rd.Dataset, labels: rd.Dataset,
     out = sized_join(ids, labels, "left_outer", on=(id_col,),
                      right_on=("node",), requested_partitions=num_partitions)
 
-    def fill(b: pd.DataFrame) -> pd.DataFrame:
-        lab = b["label"].where(b["label"].notna(), b[id_col])
-        return pd.DataFrame({
-            id_col: b[id_col].to_numpy(),
-            out_col: lab.to_numpy().astype(b[id_col].dtype, copy=False)
-            if b[id_col].dtype != object else lab.to_numpy(),
-        })
+    def fill(t):
+        # pyarrow coalesce: null labels (no edge) fall back to the id
+        # itself without a pandas float64/NaN round-trip (lossy ≥ 2^53)
+        import pyarrow as pa
+        import pyarrow.compute as pc
 
-    return out.map_batches(fill, batch_format="pandas")
+        idc = t.column(id_col)
+        lab = t.column("label")
+        if lab.type != idc.type:
+            lab = lab.cast(idc.type)
+        return pa.table({id_col: idc, out_col: pc.coalesce(lab, idc)})
+
+    return out.map_batches(fill, batch_format="pyarrow")
 
 
 # ---------- MinHash + LSH ----------
@@ -573,7 +606,7 @@ def minhash_candidates(sig_ds: rd.Dataset, num_perm: int = 64, num_bands: int = 
 
     cand = (
         sig_ds.map_batches(explode_bands, batch_format="pandas")
-        .repartition(32)  # bound the groupby's B^2 shuffle fan-out
+        .repartition(_shuffle_width())  # bound the groupby's B^2 shuffle fan-out
         .groupby("gk")
         .map_groups(
             lambda g: _within_bucket_pairs(g, "band_key", "doc_id", cap=pair_cap),
@@ -732,7 +765,7 @@ def simhash_near_dup_pairs(ds: rd.Dataset, max_hamming: int = 3,
 
     cand = (
         sig.map_batches(explode, batch_format="pandas")
-        .repartition(32)
+        .repartition(_shuffle_width())
         .groupby("gk")
         .map_groups(bucket_pairs, batch_format="pandas")
     )
@@ -817,18 +850,26 @@ def ngram_feature_table(ds: rd.Dataset, n: int = 3, id_col: str = "doc_id",
 def ngram_jaccard_pair_ds(ds: rd.Dataset, n: int = 3, threshold: float = 0.5,
                           id_col: str = "doc_id", text_col: str = "text",
                           pair_cap: int = 64,
-                          n_super_buckets: int | None = None) -> rd.Dataset:
-    """Near-dup pairs by word n-gram Jaccard, end-to-end distributed
-    and COUNT-based: within each gram's bucket, every co-occurring
-    pair emits one row, so a pair's multiplicity across grams IS
-    |A∩B|; with per-doc set sizes joined on (two hash joins of 8-byte
-    ints — no gram-set blobs move), Jaccard = shared/(|A|+|B|−shared)
-    exactly.  The round-1 driver-side {doc → gram set} dict is gone.
+                          n_super_buckets: int | None = None,
+                          exact_verify: bool = True) -> rd.Dataset:
+    """Near-dup pairs by word n-gram Jaccard, end-to-end distributed.
 
-    Grams shared by more than ``pair_cap`` docs contribute star edges
-    only (bounded blow-up); their intersection counts are undercounted
-    for non-star pairs — the standard ubiquitous-gram downweighting at
-    corpus scale.  Below the cap the result is exact."""
+    Candidate pairs come from shared-gram blocking: within each gram's
+    bucket, every co-occurring pair emits one row with a map-side
+    combiner, so a pair's multiplicity across grams is a LOWER BOUND
+    on |A∩B| (exact below ``pair_cap``).  Grams shared by more than
+    ``pair_cap`` docs contribute star edges only (bounded blow-up) —
+    so pairs that share ONLY such ubiquitous grams and include neither
+    bucket hub can be missed (recall caveat, standard LSH-style
+    blocking trade; everything else is exact).
+
+    With ``exact_verify`` (default) each candidate's Jaccard is then
+    computed EXACTLY by intersecting the two sorted-unique gram-hash
+    arrays from the feature table (two hash joins ship only candidate
+    pairs' blobs, never the corpus) — capped buckets can no longer
+    undercount an emitted pair's value.  ``exact_verify=False`` keeps
+    the cheaper count-based score (no blobs move; values for pairs
+    touching a capped gram may be undercounted — lower bound only)."""
     feats = ngram_feature_table(ds, n, id_col, text_col)
     if n_super_buckets is None:
         # gram rows ≈ docs × tokens/doc; 128 is a fair prior for the
@@ -859,20 +900,35 @@ def ngram_jaccard_pair_ds(ds: rd.Dataset, n: int = 3, threshold: float = 0.5,
 
     cand = _pair_counts(
         feats.map_batches(explode, batch_format="pandas")
-        .repartition(32)  # bound the groupby's B^2 shuffle fan-out
+        .repartition(_shuffle_width())  # bound the groupby's B^2 shuffle fan-out
         .groupby("gk")
         .map_groups(bucket_pair_counts, batch_format="pandas"),
         weight_col="c",
     )
 
-    def jac(fa: list, fb: list, shared: np.ndarray) -> np.ndarray:
-        A = np.asarray(fa, dtype=np.float64)
-        B = np.asarray(fb, dtype=np.float64)
-        S = shared.astype(np.float64)
-        return S / (A + B - S)
+    if exact_verify:
+        def jac_exact(fa: list, fb: list) -> np.ndarray:
+            # blobs are np.unique output → sorted unique; intersect
+            # per candidate pair (candidates ≪ corpus)
+            out = np.empty(len(fa), dtype=np.float64)
+            for k, (ba, bb) in enumerate(zip(fa, fb)):
+                A = np.frombuffer(ba, dtype=np.uint64)
+                B = np.frombuffer(bb, dtype=np.uint64)
+                s = np.intersect1d(A, B, assume_unique=True).size
+                out[k] = s / (A.size + B.size - s)
+            return out
 
-    scored = verify_pairs(cand, feats, jac, id_col="doc_id", feat_col="sz",
-                          pass_cols=("shared",))
+        scored = verify_pairs(cand, feats, jac_exact, id_col="doc_id",
+                              feat_col="grams")
+    else:
+        def jac(fa: list, fb: list, shared: np.ndarray) -> np.ndarray:
+            A = np.asarray(fa, dtype=np.float64)
+            B = np.asarray(fb, dtype=np.float64)
+            S = shared.astype(np.float64)
+            return S / (A + B - S)
+
+        scored = verify_pairs(cand, feats, jac, id_col="doc_id", feat_col="sz",
+                              pass_cols=("shared",))
 
     def thresh(b: pd.DataFrame) -> pd.DataFrame:
         if not len(b):
@@ -1040,7 +1096,7 @@ def cosine_lsh_pair_ds(ds: rd.Dataset, threshold: float = 0.95, n_bits: int = 10
 
     cand = _distinct_pairs(
         rows.map_batches(add_gk, batch_format="pandas")
-        .repartition(32)
+        .repartition(_shuffle_width())
         .groupby("gk")
         .map_groups(
             lambda g: _within_bucket_pairs(g, "bucket", id_col, cap=pair_cap),

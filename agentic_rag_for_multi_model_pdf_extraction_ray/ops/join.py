@@ -147,46 +147,86 @@ def asof_join_bucketed(
     (hash on the key); a key so hot its bucket overflows a worker
     needs time-range sub-bucketing on top.  Right rows must be unique
     per (key, ts) for deterministic output (pre-aggregate upstream).
-    Numeric side-specific columns travel as nullable float64 through
-    the union; cast back downstream."""
-    import numpy as np
 
-    def tag(side: int, k: str, t: str, own: list[str], other: list[str]):
-        def f(b: pd.DataFrame) -> pd.DataFrame:
-            kv = b[k]
-            d = {
-                "bk": (pd.util.hash_array(kv.to_numpy()) % n_buckets).astype("int64"),
-                "side": np.full(len(b), side, dtype=np.int8),
-                "k": kv.to_numpy(),
-                "t": pd.to_datetime(b[t]).to_numpy(),
+    Side-specific columns travel TYPED (Arrow blocks, nulls for the
+    other side) through the union — int64 payloads survive exactly;
+    the round-2 float64-with-NaN carriage silently corrupted int64
+    ≥ 2⁵³.  Unmatched rows surface as nulls (pandas nullable Int64 /
+    NaN after ``to_pandas``).  Timestamps are normalized to
+    microsecond resolution (the engine-wide convention)."""
+    import numpy as np
+    import pyarrow as pa
+
+    def _arrow_types(ds: rd.Dataset, cols: list[str]) -> dict:
+        sch = ds.schema()
+        m = dict(zip(sch.names, sch.types))
+        out = {}
+        for c in cols:
+            t = m[c]
+            if not isinstance(t, pa.DataType):
+                t = pa.from_numpy_dtype(t)  # pandas-backed blocks
+            out[c] = t
+        return out
+
+    ltypes = _arrow_types(left, left_cols)
+    rtypes = _arrow_types(right, right_cols)
+
+    def tag(side: int, k: str, t: str, own: list[str], own_t: dict,
+            other: list[str], other_t: dict):
+        def f(b: pa.Table) -> pa.Table:
+            n = b.num_rows
+            kv = b.column(k).to_numpy(zero_copy_only=False)
+            from pandas.util import hash_array
+
+            kh = hash_array(kv, categorize=False) if kv.dtype == object \
+                else hash_array(kv)
+            cols = {
+                "bk": pa.array((kh % np.uint64(n_buckets)).astype(np.int64)),
+                "side": pa.array(np.full(n, side, dtype=np.int8)),
+                "k": b.column(k),
+                "t": b.column(t).cast(pa.timestamp("us")),
             }
             for c in own:
-                # float64 for schema stability across the union (the
-                # other side fills NaN); cast back downstream
-                d[c] = b[c].to_numpy().astype(np.float64)
+                cols[c] = b.column(c).cast(own_t[c])
             for c in other:
-                d[c] = np.full(len(b), np.nan)
-            return pd.DataFrame(d)
+                cols[c] = pa.nulls(n, type=other_t[c])
+            return pa.table(cols)
 
         return f
 
-    rows = left.map_batches(tag(0, key, ts, left_cols, right_cols),
-                            batch_format="pandas").union(
-        right.map_batches(tag(1, right_key, right_ts, right_cols, left_cols),
-                          batch_format="pandas"))
+    rows = left.map_batches(
+        tag(0, key, ts, left_cols, ltypes, right_cols, rtypes),
+        batch_format="pyarrow",
+    ).union(right.map_batches(
+        tag(1, right_key, right_ts, right_cols, rtypes, left_cols, ltypes),
+        batch_format="pyarrow",
+    ))
 
-    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        l = g[g["side"] == 0][["k", "t", *left_cols]].sort_values(
+    def per_bucket(g: pa.Table) -> pa.Table:
+        # ArrowDtype payload columns keep int64 exact through
+        # merge_asof (only k/t drive the algorithm; payloads ride)
+        df = g.to_pandas(types_mapper=pd.ArrowDtype)
+        kt = g.column("k").type
+        df["k"] = (df["k"].astype(object) if pa.types.is_string(kt)
+                   else df["k"].to_numpy(dtype=kt.to_pandas_dtype()))
+        df["t"] = df["t"].astype("datetime64[us]")
+        l = df[df["side"] == 0][["k", "t", *left_cols]].sort_values(
             "t", kind="mergesort")
-        r = g[g["side"] == 1][["k", "t", *right_cols]].sort_values(
+        r = df[df["side"] == 1][["k", "t", *right_cols]].sort_values(
             "t", kind="mergesort")
         if not len(l):
-            return pd.DataFrame(columns=["k", "t", *left_cols, *right_cols])
+            return pa.table({
+                "k": pa.nulls(0, type=kt),
+                "t": pa.nulls(0, type=pa.timestamp("us")),
+                **{c: pa.nulls(0, type=ltypes[c]) for c in left_cols},
+                **{c: pa.nulls(0, type=rtypes[c]) for c in right_cols},
+            })
         out = pd.merge_asof(l, r, on="t", by="k", direction="backward",
                             suffixes=("", "_r"))
-        return out[["k", "t", *left_cols, *right_cols]]
+        return pa.Table.from_pandas(
+            out[["k", "t", *left_cols, *right_cols]], preserve_index=False)
 
-    return rows.groupby("bk").map_groups(per_bucket, batch_format="pandas")
+    return rows.groupby("bk").map_groups(per_bucket, batch_format="pyarrow")
 
 
 def shuffle_anti_join(

@@ -84,8 +84,16 @@ def weighted_bernoulli_sample(ds: rd.Dataset, key_col: str, weight_col: str,
     same md5 construction as :func:`bernoulli_sample`, Σw is an exact
     integer sum (one tiny aggregate — no driver loop), and the
     threshold expression is evaluated with the same float64 op order
-    as the DuckDB oracle."""
-    total = int(ds.sum(weight_col))
+    as the DuckDB oracle.
+
+    Rows whose ``target_k·w/Σw > 1`` are kept with probability 1
+    (clipped), so for heavy-tailed weights the realized expected size
+    undershoots ``target_k`` — use weighted reservoir sampling when an
+    exact count matters."""
+    total = ds.sum(weight_col)
+    if total is None:  # empty dataset: Dataset.sum returns None
+        return ds
+    total = int(total)
 
     def filt(batch: pd.DataFrame) -> pd.DataFrame:
         hf = _hash_frac(batch[key_col]).to_numpy()

@@ -282,9 +282,17 @@ def run_extraction(
     inside the parse task (all spans of a doc are born in one call —
     offsets never depend on block layout) so the partition shuffle
     moves one row per document; ``packed=False`` keeps the exploded
-    span-row exchange (same output, more shuffle rows — the layout a
+    span-row exchange (same spans, more shuffle rows — the layout a
     flow needs when other per-span stages sit between parse and
     write).
+
+    Doc-set asymmetry: zero-span documents are emitted (with an empty
+    ``spans`` list) ONLY on the packed path; the span-row exchange has
+    no row to carry them, so they are absent from ``packed=False``
+    output entirely (and ``num_docs_empty`` reads 0 there — per-doc
+    accounting of empties needs the packed path).  ``check_layout``
+    refuses to mix the two layouts in one output dir, so a single
+    store never sees both lineage contracts.
     """
     layout = {"n_partitions": n_partitions, "packed": bool(packed)}
     from ..state.manifest import check_layout

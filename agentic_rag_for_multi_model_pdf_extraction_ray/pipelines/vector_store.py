@@ -31,7 +31,15 @@ from ..state.manifest import partition_dir, read_output_ds, write_partition
 
 def upsert_chunks(chunks: rd.Dataset, store_dir: str, dim: int = 384,
                   n_partitions: int = 16, concurrency: int = 2) -> list[dict]:
-    """Embed + write the vector table partitioned by chunk_id hash."""
+    """Embed + write the vector table partitioned by chunk_id hash.
+
+    SINGLE WRITER PER STORE: the per-partition upsert is a
+    read-merge-replace with no lock, so two concurrent upsert runs
+    touching the same partition each merge against the old file and
+    the last ``os.replace`` wins, dropping the other run's surviving
+    rows.  Serialize upserts to one store (the reference's ChromaDB
+    client has the same single-writer contract per collection); reads
+    stay safe at any time (atomic replace)."""
     with_vecs = embed(chunks, dim=dim, text_col="structured_text",
                       concurrency=concurrency)
 

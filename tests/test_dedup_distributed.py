@@ -153,3 +153,72 @@ def test_simhash_and_ngram_return_dataset_backed_results():
     assert 3 not in set(pairs["a"]) | set(pairs["b"])
     j = ngram_jaccard_pairs(rd.from_pandas(pd.DataFrame(rows)), n=3, threshold=0.3)
     assert (1, 2) in set(zip(j["a"], j["b"]))
+
+
+def test_attach_labels_preserves_big_int64_ids():
+    # both attach paths must keep int64 ids/labels >= 2^53 exact
+    # (the dict-map/float64 round-trip corrupted them)
+    import numpy as np
+    from agentic_rag_for_multi_model_pdf_extraction_ray.ops.dedup import (
+        attach_component_labels,
+    )
+
+    big = 2**53 + 1
+    ids = rd.from_pandas(pd.DataFrame(
+        {"doc_id": np.array([big, big + 2, big + 4], dtype=np.int64)}))
+    labels = rd.from_pandas(pd.DataFrame({
+        "node": np.array([big + 2], dtype=np.int64),
+        "label": np.array([big], dtype=np.int64),
+    }))
+    for thresh in (10, 0):  # broadcast path, then join path
+        out = attach_component_labels(
+            ids, labels, broadcast_threshold=thresh).to_pandas()
+        got = {int(i): int(c) for i, c in zip(out["doc_id"], out["cluster_id"])}
+        assert got == {big: big, big + 2: big, big + 4: big + 4}, thresh
+
+
+def test_shuffle_width_scales_with_cluster_cpus(monkeypatch):
+    import ray
+    from agentic_rag_for_multi_model_pdf_extraction_ray.ops import dedup
+
+    assert dedup._shuffle_width() == int(ray.cluster_resources()["CPU"])
+    monkeypatch.setattr(ray, "cluster_resources", lambda: {"CPU": 1024.0})
+    assert dedup._shuffle_width() == 1024
+    assert dedup._shuffle_width(0.5) == 512
+    assert dedup._shuffle_width(0.25, floor=4) == 256
+    monkeypatch.setattr(ray, "cluster_resources", lambda: {"CPU": 2.0})
+    assert dedup._shuffle_width() == 4  # floor
+
+
+def test_ngram_exact_verify_not_undercounted_by_pair_cap():
+    # two docs share 30 grams, 10 of which are "hot" (present in many
+    # other docs -> capped star blocking). count-based scoring
+    # undercounts their intersection; exact_verify must not.
+    from agentic_rag_for_multi_model_pdf_extraction_ray.ops.dedup import (
+        ngram_jaccard_pair_ds, _gram_hashes,
+    )
+
+    hot = " ".join(f"h{i}" for i in range(12))        # 10 hot 3-grams
+    a_rest = " ".join(f"a{i}" for i in range(22))
+    rows = [{"doc_id": 51, "text": hot + " " + a_rest},
+            {"doc_id": 52, "text": hot + " " + a_rest}]
+    # many fillers containing the hot run -> its grams exceed cap=4;
+    # filler ids are SMALLER so a filler becomes the star hub and the
+    # capped grams contribute nothing to the (51, 52) count
+    rows += [{"doc_id": k, "text": f"f{k}a f{k}b " + hot + f" f{k}c f{k}d"}
+             for k in range(8)]
+    ds = rd.from_pandas(pd.DataFrame(rows))
+    out = ngram_jaccard_pair_ds(ds, n=3, threshold=0.9, pair_cap=4,
+                                exact_verify=True).to_pandas()
+    got = dict(zip(zip(out["a"], out["b"]), out["jaccard"]))
+    ga = _gram_hashes(rows[0]["text"], 3)
+    gb = _gram_hashes(rows[1]["text"], 3)
+    import numpy as np
+
+    sh = np.intersect1d(ga, gb).size
+    expect = round(sh / (ga.size + gb.size - sh), 6)
+    assert got.get((51, 52)) == expect == 1.0
+    # count-based path undercounts the same pair below the threshold
+    low = ngram_jaccard_pair_ds(ds, n=3, threshold=0.9, pair_cap=4,
+                                exact_verify=False).to_pandas()
+    assert len(low) == 0 or (51, 52) not in set(zip(low["a"], low["b"]))
