@@ -377,51 +377,60 @@ def _q_dedup_normalized(sf_dir: str):
 
 def _q_token_stats(sf_dir: str):
     from agentic_rag_for_multi_model_pdf_extraction_ray.functions.text import (
-        avg_token_len_batch,
-        token_count_batch,
+        avg_token_len_arrow,
+        token_count_arrow,
     )
     from agentic_rag_for_multi_model_pdf_extraction_ray.sources.corpus import read_table
 
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
-    def f(b: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            "doc_id": b["doc_id"],
-            "n_tokens": token_count_batch(b["text"]),
-            "avg_token_len": avg_token_len_batch(b["text"]),
+    def f(b):
+        import pyarrow as pa
+
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "n_tokens": token_count_arrow(b.column("text")),
+            "avg_token_len": avg_token_len_arrow(b.column("text")),
         })
 
-    return docs.map_batches(f, batch_format="pandas")
+    return docs.map_batches(f, batch_format="pyarrow")
 
 
 def _q_quality_filter(sf_dir: str):
     from agentic_rag_for_multi_model_pdf_extraction_ray.functions.text import (
-        avg_token_len_batch,
-        token_count_batch,
+        avg_token_len_arrow,
+        token_count_arrow,
     )
     from agentic_rag_for_multi_model_pdf_extraction_ray.sources.corpus import read_table
 
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
-    def f(b: pd.DataFrame) -> pd.DataFrame:
-        n = token_count_batch(b["text"])
-        a = avg_token_len_batch(b["text"])
-        keep = (n >= 5) & (n <= 100000) & (a >= 2.0) & (a <= 15.0)
-        return pd.DataFrame({"doc_id": b["doc_id"][keep], "n_tokens": n[keep]})
+    def f(b):
+        import numpy as np
+        import pyarrow as pa
 
-    return docs.map_batches(f, batch_format="pandas")
+        n = token_count_arrow(b.column("text")).to_numpy()
+        a = avg_token_len_arrow(b.column("text")).to_numpy()
+        keep = (n >= 5) & (n <= 100000) & (a >= 2.0) & (a <= 15.0)
+        return pa.table({"doc_id": b.column("doc_id").filter(pa.array(keep)),
+                         "n_tokens": pa.array(n[keep])})
+
+    return docs.map_batches(f, batch_format="pyarrow")
 
 
 def _q_langid(sf_dir: str):
-    from agentic_rag_for_multi_model_pdf_extraction_ray.functions.text import langid_batch
+    from agentic_rag_for_multi_model_pdf_extraction_ray.functions.text import langid_arrow
     from agentic_rag_for_multi_model_pdf_extraction_ray.sources.corpus import read_table
 
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
-    def f(b: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"doc_id": b["doc_id"], "lang_pred": langid_batch(b["text"])})
+    def f(b):
+        import pyarrow as pa
 
-    return docs.map_batches(f, batch_format="pandas")
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "lang_pred": langid_arrow(b.column("text"))})
+
+    return docs.map_batches(f, batch_format="pyarrow")
 
 
 def _q_fingerprint(sf_dir: str):
@@ -911,6 +920,26 @@ def _q_ngram_jaccard(sf_dir: str):
     return ngram_jaccard_pairs(docs, n=3, threshold=0.3)
 
 
+def _q_ngram_jaccard_exact(sf_dir: str):
+    """EXACT n-gram Jaccard (blob-verify path, uncapped blocking) —
+    the oracle-checkable variant of q_ngram_jaccard: every candidate
+    pair's score is the true |A∩B|/|A∪B| over its word-trigram sets,
+    value-matched against a pure-SQL trigram oracle."""
+    from agentic_rag_for_multi_model_pdf_extraction_ray.ops.dedup import (
+        ngram_jaccard_pair_ds,
+    )
+    from agentic_rag_for_multi_model_pdf_extraction_ray.sources.corpus import read_table
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    out = ngram_jaccard_pair_ds(docs, n=3, threshold=0.5, pair_cap=1 << 30,
+                                exact_verify=True).to_pandas()
+    import pandas as pd
+
+    if not len(out):
+        return pd.DataFrame({"a": [], "b": [], "jaccard": []})
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
 def _q_knn_lsh(sf_dir: str):
     import pyarrow.parquet as pq
 
@@ -1119,6 +1148,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_minhash_clusters": _q_minhash_clusters,
         "q_simhash": _q_simhash,
         "q_ngram_jaccard": _q_ngram_jaccard,
+        "q_ngram_jaccard_exact": _q_ngram_jaccard_exact,
         "q_knn_lsh": _q_knn_lsh,
         "q_knn_store": _q_knn_store,
         "q_knn_ivf": _q_knn_ivf,
@@ -1319,6 +1349,29 @@ def oracle_sql() -> dict[str, str]:
                          * 1000000 + 0.5) / 1000000 AS score
             FROM embeddings WHERE vec_id != 0
             ORDER BY score DESC, vec_id LIMIT 10
+        """,
+        "q_ngram_jaccard_exact": r"""
+            WITH toks AS (
+              SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+              FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+            ),
+            grams AS (
+              SELECT doc_id,
+                     CASE WHEN len(t) < 3
+                          THEN [array_to_string(t, ' ')]
+                          ELSE list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                             FOR i IN generate_series(1, len(t) - 2)])
+                     END AS g
+              FROM toks
+            ),
+            pairs AS (
+              SELECT a.doc_id AS a, b.doc_id AS b,
+                     len(list_intersect(a.g, b.g)) AS s,
+                     len(a.g) AS la, len(b.g) AS lb
+              FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+            )
+            SELECT a, b, floor(s * 1000000.0 / (la + lb - s) + 0.5) / 1000000 AS jaccard
+            FROM pairs WHERE s * 1.0 / (la + lb - s) >= 0.5
         """,
         "q_cosine_pairs": """
             SELECT a.vec_id AS a, b.vec_id AS b,

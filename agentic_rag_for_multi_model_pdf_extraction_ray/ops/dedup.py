@@ -221,13 +221,15 @@ def except_keys(a: rd.Dataset, b: rd.Dataset, col_a: str,
 
 
 def _pair_counts(cand: rd.Dataset, n_buckets: int = 256,
-                 weight_col: str | None = None) -> rd.Dataset:
+                 weight_col: str | None = None,
+                 max_cols: tuple = ()) -> rd.Dataset:
     """Exact distributed multiplicity per (a, b) pair row → columns
     (a, b, shared).  Same bounded-bucket shape as
     :func:`_distinct_pairs`; all occurrences of a pair hash to one
     bucket, so the per-bucket count is the exact global one.  With
     ``weight_col``, rows carry partial counts (map-side combiner) that
-    are summed instead of counted."""
+    are summed instead of counted; ``max_cols`` names flag columns
+    merged with max (requires ``weight_col``)."""
 
     def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
         b = b.copy()
@@ -239,8 +241,9 @@ def _pair_counts(cand: rd.Dataset, n_buckets: int = 256,
         if weight_col is None:
             return (g.groupby(["a", "b"], sort=False).size()
                     .reset_index(name="shared"))
-        return (g.groupby(["a", "b"], sort=False)[weight_col].sum()
-                .reset_index().rename(columns={weight_col: "shared"}))
+        aggs = {"shared": (weight_col, "sum")}
+        aggs.update({c: (c, "max") for c in max_cols})
+        return g.groupby(["a", "b"], sort=False).agg(**aggs).reset_index()
 
     return (
         cand.map_batches(add_bucket, batch_format="pandas")
@@ -252,14 +255,18 @@ def _pair_counts(cand: rd.Dataset, n_buckets: int = 256,
 
 
 def _within_bucket_pairs(g: pd.DataFrame, bucket_col: str, id_col: str,
-                         extra_cols: tuple = (), cap: int = 64) -> pd.DataFrame:
+                         extra_cols: tuple = (), cap: int = 64,
+                         mark_capped: bool = False) -> pd.DataFrame:
     """All unordered id pairs within each bucket, vectorized.
 
     Buckets of size ≤ cap: full all-pairs via a self-merge (C-speed).
     Degenerate buckets (> cap — e.g. the empty-text band or a
     stopword gram): star pairs against the bucket's min id, which
     still connects the bucket for component purposes without the k²
-    blow-up.  Extra columns come out suffixed ``_a`` / ``_b``."""
+    blow-up.  Extra columns come out suffixed ``_a`` / ``_b``.
+    ``mark_capped`` adds an int8 ``capped`` column (1 = the pair came
+    from an over-cap bucket, so downstream counts involving it are
+    lower bounds)."""
     cols = [bucket_col, id_col, *extra_cols]
     g = g[cols].drop_duplicates([bucket_col, id_col])
     sizes = g.groupby(bucket_col)[id_col].transform("size")
@@ -268,6 +275,8 @@ def _within_bucket_pairs(g: pd.DataFrame, bucket_col: str, id_col: str,
     if len(small):
         m = small.merge(small, on=bucket_col, suffixes=("_a", "_b"))
         m = m[m[f"{id_col}_a"] < m[f"{id_col}_b"]]
+        if mark_capped:
+            m = m.assign(capped=np.int8(0))
         out.append(m)
     large = g[sizes > cap]
     if len(large):
@@ -276,16 +285,22 @@ def _within_bucket_pairs(g: pd.DataFrame, bucket_col: str, id_col: str,
         hub = l[isfirst]
         rest = l[~isfirst]
         m = rest.merge(hub, on=bucket_col, suffixes=("_b", "_a"))
+        if mark_capped:
+            m = m.assign(capped=np.int8(1))
         out.append(m)
     cols_out = {"a": f"{id_col}_a", "b": f"{id_col}_b"}
     cols_out.update({f"{e}_a": f"{e}_a" for e in extra_cols})
     cols_out.update({f"{e}_b": f"{e}_b" for e in extra_cols})
+    if mark_capped:
+        cols_out["capped"] = "capped"
     if not out:
         src = {"a": id_col, "b": id_col}
         src.update({f"{e}_a": e for e in extra_cols})
         src.update({f"{e}_b": e for e in extra_cols})
-        return pd.DataFrame({k: pd.Series(dtype=g[c].dtype)
-                             for k, c in src.items()})
+        empty = {k: pd.Series(dtype=g[c].dtype) for k, c in src.items()}
+        if mark_capped:
+            empty["capped"] = pd.Series(dtype="int8")
+        return pd.DataFrame(empty)
     m = pd.concat(out, ignore_index=True)
     return pd.DataFrame({k: m[c].to_numpy() for k, c in cols_out.items()})
 
@@ -592,20 +607,29 @@ def minhash_candidates(sig_ds: rd.Dataset, num_perm: int = 64, num_bands: int = 
     if n_super_buckets is None:
         n_super_buckets = _super_buckets(sig_ds.count() * num_bands)
 
-    def explode_bands(batch: pd.DataFrame) -> pd.DataFrame:
-        sigs = np.stack([np.frombuffer(b, dtype=np.uint64) for b in batch["sig"]]) \
-            if len(batch) else np.zeros((0, num_perm), dtype=np.uint64)
-        keys = mh.band_keys_matrix(sigs, num_bands) if len(batch) else \
-            np.zeros((0, num_bands), dtype=np.uint64)
-        bk = keys.reshape(-1).view(np.int64)
-        return pd.DataFrame({
-            "doc_id": np.repeat(batch[id_col].to_numpy(), num_bands),
-            "band_key": bk,
-            "gk": bk % n_super_buckets,
+    def explode_bands(batch: "pa.Table") -> "pa.Table":
+        import pyarrow as pa
+
+        n = batch.num_rows
+        if n:
+            # one frombuffer over the joined blobs (sigs are fixed
+            # num_perm×8 bytes) — no per-row frombuffer calls
+            sigs = np.frombuffer(
+                b"".join(batch.column("sig").to_pylist()), dtype=np.uint64
+            ).reshape(n, num_perm)
+            keys = mh.band_keys_matrix(sigs, num_bands)
+        else:
+            keys = np.zeros((0, num_bands), dtype=np.uint64)
+        bk = keys.reshape(-1).view(np.int64).copy()
+        idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), num_bands))
+        return pa.table({
+            "doc_id": batch.column(id_col).take(idx),
+            "band_key": pa.array(bk),
+            "gk": pa.array(bk % n_super_buckets),
         })
 
     cand = (
-        sig_ds.map_batches(explode_bands, batch_format="pandas")
+        sig_ds.map_batches(explode_bands, batch_format="pyarrow")
         .repartition(_shuffle_width())  # bound the groupby's B^2 shuffle fan-out
         .groupby("gk")
         .map_groups(
@@ -736,20 +760,24 @@ def simhash_near_dup_pairs(ds: rd.Dataset, max_hamming: int = 3,
     if n_super_buckets is None:
         n_super_buckets = _super_buckets(sig.count() * 4)
 
-    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+    def explode(batch: "pa.Table") -> "pa.Table":
+        import pyarrow as pa
+
+        n = batch.num_rows
         v = np.fromiter(
-            (int(h, 16) for h in batch["simhash"]), dtype=np.uint64, count=len(batch)
-        )
-        out = []
-        for b in range(4):
-            key = (v >> np.uint64(16 * b)) & np.uint64(0xFFFF)
-            out.append(pd.DataFrame({
-                "doc_id": batch["doc_id"].to_numpy(),
-                "band_key": key.astype(np.int64) * 4 + b,
-                "gk": (key.astype(np.int64) * 4 + b) % n_super_buckets,
-                "sim": v,
-            }))
-        return pd.concat(out, ignore_index=True)
+            (int(h, 16) for h in batch.column("simhash").to_pylist()),
+            dtype=np.uint64, count=n)
+        bands = np.arange(4, dtype=np.uint64)
+        key = ((v[:, None] >> (bands[None, :] * np.uint64(16)))
+               & np.uint64(0xFFFF)).astype(np.int64)
+        bk = (key * 4 + bands.astype(np.int64)[None, :]).reshape(-1)
+        idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), 4))
+        return pa.table({
+            "doc_id": batch.column("doc_id").take(idx),
+            "band_key": pa.array(bk),
+            "gk": pa.array(bk % n_super_buckets),
+            "sim": pa.array(np.repeat(v, 4)),
+        })
 
     def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
         m = _within_bucket_pairs(group, "band_key", "doc_id",
@@ -764,7 +792,7 @@ def simhash_near_dup_pairs(ds: rd.Dataset, max_hamming: int = 3,
                              "hamming": h[keep]})
 
     cand = (
-        sig.map_batches(explode, batch_format="pandas")
+        sig.map_batches(explode, batch_format="pyarrow")
         .repartition(_shuffle_width())
         .groupby("gk")
         .map_groups(bucket_pairs, batch_format="pandas")
@@ -851,65 +879,114 @@ def ngram_jaccard_pair_ds(ds: rd.Dataset, n: int = 3, threshold: float = 0.5,
                           id_col: str = "doc_id", text_col: str = "text",
                           pair_cap: int = 64,
                           n_super_buckets: int | None = None,
-                          exact_verify: bool = True) -> rd.Dataset:
+                          exact_verify: bool = False) -> rd.Dataset:
     """Near-dup pairs by word n-gram Jaccard, end-to-end distributed.
 
     Candidate pairs come from shared-gram blocking: within each gram's
     bucket, every co-occurring pair emits one row with a map-side
     combiner, so a pair's multiplicity across grams is a LOWER BOUND
-    on |A∩B| (exact below ``pair_cap``).  Grams shared by more than
-    ``pair_cap`` docs contribute star edges only (bounded blow-up) —
-    so pairs that share ONLY such ubiquitous grams and include neither
-    bucket hub can be missed (recall caveat, standard LSH-style
-    blocking trade; everything else is exact).
+    on |A∩B| (exact when none of the pair's shared grams is shared by
+    more than ``pair_cap`` docs).  Over-cap grams contribute star
+    edges only (bounded blow-up): pairs that share ONLY such
+    ubiquitous grams and include neither bucket hub can be missed,
+    and counts for pairs sharing them are undercounted — the standard
+    ubiquitous-gram downweighting at corpus scale.  This is NOT
+    silent: the pipeline counts over-cap grams in the same shuffle
+    (zero extra passes) and emits a ``UserWarning`` with the count
+    when any gram exceeded the cap.
 
-    With ``exact_verify`` (default) each candidate's Jaccard is then
-    computed EXACTLY by intersecting the two sorted-unique gram-hash
-    arrays from the feature table (two hash joins ship only candidate
-    pairs' blobs, never the corpus) — capped buckets can no longer
-    undercount an emitted pair's value.  ``exact_verify=False`` keeps
-    the cheaper count-based score (no blobs move; values for pairs
-    touching a capped gram may be undercounted — lower bound only)."""
+    ``exact_verify=True`` instead scores EVERY candidate pair by
+    intersecting the two sorted-unique gram-hash arrays from the
+    feature table — exact values regardless of the cap (the star-edge
+    recall caveat remains), at the cost of shipping candidate pairs'
+    gram blobs through the verify joins (measured ~4× the count-based
+    wall at sf0.1).  Use it when exact scores matter more than
+    throughput; the collected :func:`ngram_jaccard_pairs` wrapper
+    defaults to it."""
+    import warnings
+
     feats = ngram_feature_table(ds, n, id_col, text_col)
     if n_super_buckets is None:
         # gram rows ≈ docs × tokens/doc; 128 is a fair prior for the
         # row blow-up — only the group-count order matters here
         n_super_buckets = _super_buckets(feats.count() * 128)
 
-    def explode(batch: pd.DataFrame) -> pd.DataFrame:
-        ids, grams = [], []
-        for i, blob in zip(batch["doc_id"], batch["grams"]):
-            h = np.frombuffer(blob, dtype=np.uint64)
-            ids.append(np.full(len(h), i))
-            grams.append(h.view(np.int64))
-        if not ids:
-            return pd.DataFrame({"doc_id": [], "gram": [], "gk": []})
-        g = np.concatenate(grams)
-        return pd.DataFrame({"doc_id": np.concatenate(ids), "gram": g,
-                             "gk": g % n_super_buckets})
+    def explode(batch: "pa.Table") -> "pa.Table":
+        import pyarrow as pa
+
+        blobs = batch.column("grams").to_pylist()
+        if not blobs:
+            return pa.table({"doc_id": batch.column("doc_id"),
+                             "gram": pa.array([], type=pa.int64()),
+                             "gk": pa.array([], type=pa.int64())})
+        counts = np.fromiter(map(len, blobs), dtype=np.int64,
+                             count=len(blobs)) // 8
+        g = np.frombuffer(b"".join(blobs), dtype=np.uint64).view(np.int64)
+        idx = pa.array(np.repeat(np.arange(len(blobs), dtype=np.int64), counts))
+        return pa.table({"doc_id": batch.column("doc_id").take(idx),
+                         "gram": pa.array(g),
+                         "gk": pa.array(g % n_super_buckets)})
 
     def bucket_pair_counts(g: pd.DataFrame) -> pd.DataFrame:
         # map-side combiner: collapse this bucket's per-gram pair rows
-        # into partial counts before the pair-hash shuffle
+        # into partial counts before the pair-hash shuffle.  Over-cap
+        # grams additionally emit ONE sentinel row (a == b — real
+        # pairs are strictly a < b) whose count rides the same shuffle
+        # so the driver can report capping without an extra pass.
         m = _within_bucket_pairs(g, "gram", "doc_id", cap=pair_cap)
-        if not len(m):
+        parts = []
+        if len(m):
+            parts.append(m.groupby(["a", "b"], sort=False).size()
+                         .reset_index(name="c"))
+        uniq = g.drop_duplicates(["gram", "doc_id"])
+        n_over = int((uniq.groupby("gram", sort=False).size() > pair_cap).sum())
+        if n_over:
+            d = g["doc_id"].iloc[0]
+            parts.append(pd.DataFrame({"a": [d], "b": [d], "c": [n_over]}))
+        if not parts:
             return pd.DataFrame({"a": m.get("a", pd.Series(dtype=object)),
                                  "b": m.get("b", pd.Series(dtype=object)),
                                  "c": pd.Series(dtype="int64")})
-        return m.groupby(["a", "b"], sort=False).size().reset_index(name="c")
+        return pd.concat(parts, ignore_index=True)
 
-    cand = _pair_counts(
-        feats.map_batches(explode, batch_format="pandas")
+    cand_all = _pair_counts(
+        feats.map_batches(explode, batch_format="pyarrow")
         .repartition(_shuffle_width())  # bound the groupby's B^2 shuffle fan-out
         .groupby("gk")
         .map_groups(bucket_pair_counts, batch_format="pandas"),
         weight_col="c",
-    )
+    ).materialize()
+
+    def _pairs_where(want_sentinel: bool):
+        def f(t):
+            import pyarrow.compute as pc
+
+            eq = pc.equal(t.column("a"), t.column("b"))
+            return t.filter(eq if want_sentinel else pc.invert(eq))
+
+        return f
+
+    n_capped = sum(
+        r["shared"] for r in
+        cand_all.map_batches(_pairs_where(True), batch_format="pyarrow")
+        .take_all())
+    if n_capped:
+        warnings.warn(
+            f"ngram_jaccard: {n_capped} gram(s) exceeded pair_cap={pair_cap}; "
+            f"pair intersection counts involving them are lower bounds and "
+            f"pairs sharing only such grams may be missed"
+            + ("" if exact_verify else
+               " — pass exact_verify=True for exact scores"),
+            UserWarning, stacklevel=2)
+    # repartition after the filter: join inputs built from filtered
+    # blocks otherwise hit the Arrow hash join's FieldRef
+    # schema-resolution error ([[ray-local-pitfalls]])
+    cand = (cand_all.map_batches(_pairs_where(False), batch_format="pyarrow")
+            .repartition(_shuffle_width(0.25)))
 
     if exact_verify:
         def jac_exact(fa: list, fb: list) -> np.ndarray:
-            # blobs are np.unique output → sorted unique; intersect
-            # per candidate pair (candidates ≪ corpus)
+            # blobs are np.unique output → sorted unique
             out = np.empty(len(fa), dtype=np.float64)
             for k, (ba, bb) in enumerate(zip(fa, fb)):
                 A = np.frombuffer(ba, dtype=np.uint64)
@@ -942,9 +1019,13 @@ def ngram_jaccard_pair_ds(ds: rd.Dataset, n: int = 3, threshold: float = 0.5,
 
 
 def ngram_jaccard_pairs(ds: rd.Dataset, n: int = 3, threshold: float = 0.5,
-                        id_col: str = "doc_id", text_col: str = "text") -> pd.DataFrame:
-    """Collected wrapper around :func:`ngram_jaccard_pair_ds`."""
-    out = ngram_jaccard_pair_ds(ds, n, threshold, id_col, text_col).to_pandas()
+                        id_col: str = "doc_id", text_col: str = "text",
+                        exact_verify: bool = False) -> pd.DataFrame:
+    """Collected wrapper around :func:`ngram_jaccard_pair_ds` (same
+    count-based default and capped-gram warning; pass
+    ``exact_verify=True`` for exact scores)."""
+    out = ngram_jaccard_pair_ds(ds, n, threshold, id_col, text_col,
+                                exact_verify=exact_verify).to_pandas()
     if not len(out):
         return pd.DataFrame({"a": [], "b": [], "jaccard": []})
     return out.sort_values(["a", "b"]).reset_index(drop=True)

@@ -10,6 +10,8 @@ DuckDB oracles (date_trunc / lag+gap window functions).
 from __future__ import annotations
 
 import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data as rd
 from ray.data.aggregate import Count, Sum
 
@@ -26,22 +28,32 @@ def tumbling_window(events: rd.Dataset, key: str = "event_type",
 
     from ..functions.rounding import cents
 
-    def add_window(batch: pd.DataFrame) -> pd.DataFrame:
-        w = batch["ts"].dt.floor(freq).dt.strftime("%Y-%m-%d %H:%M:%S")
-        # exact integer cents → order-independent distributed sums
-        return pd.DataFrame(
-            {key: batch[key], "window_start": w, "value_cents": cents(batch["value"].to_numpy())}
-        )
+    _UNIT = {"h": "hour", "min": "minute", "d": "day"}[freq]
 
-    def finish(batch: pd.DataFrame) -> pd.DataFrame:
-        batch["sum_value"] = batch["value_cents"] / 100.0
-        return batch.drop(columns=["value_cents"])
+    def add_window(batch: pa.Table) -> pa.Table:
+        # Arrow-native (zero-copy in): floor_temporal + strftime in C,
+        # exact integer cents → order-independent distributed sums
+        ts = batch.column("ts").cast(pa.timestamp("us"))
+        # cast the floored stamp to seconds — Arrow's %S prints
+        # fractional digits for sub-second units
+        w = pc.strftime(pc.floor_temporal(ts, unit=_UNIT).cast(pa.timestamp("s")),
+                        format="%Y-%m-%d %H:%M:%S")
+        return pa.table({
+            key: batch.column(key),
+            "window_start": w,
+            "value_cents": pa.array(cents(batch.column("value").to_numpy())),
+        })
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "sum_value", pc.divide(batch.column("value_cents").cast(pa.float64()), 100.0)
+        ).drop_columns(["value_cents"])
 
     return (
-        events.map_batches(add_window, batch_format="pandas")
+        events.map_batches(add_window, batch_format="pyarrow")
         .groupby([key, "window_start"])
         .aggregate(Count(alias_name="n"), Sum("value_cents", alias_name="value_cents"))
-        .map_batches(finish, batch_format="pandas")
+        .map_batches(finish, batch_format="pyarrow")
     )
 
 
@@ -64,28 +76,31 @@ def hopping_window(events: rd.Dataset, key: str = "event_type",
 
     import numpy as np
 
-    def explode(batch: pd.DataFrame) -> pd.DataFrame:
-        # force microsecond resolution — a bare astype(int64) yields
-        # whatever unit pandas kept (ns vs us varies by version)
-        us = batch["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+    def explode(batch: pa.Table) -> pa.Table:
+        # Arrow-native: explicit microsecond cast (a bare int64 view
+        # yields whatever unit the block kept — ns vs us varies);
+        # the key column explodes via Arrow take (no object copies)
+        us = batch.column("ts").cast(pa.timestamp("us")).cast(pa.int64()).to_numpy()
         base = us // (hop_sec * 1_000_000)  # hop index of each event
         i = np.arange(k, dtype=np.int64)
         starts = ((base[:, None] - i[None, :]) * hop_sec).reshape(-1)
-        return pd.DataFrame({
-            key: np.repeat(batch[key].to_numpy(), k),
-            "window_start": starts,
-            "value_cents": np.repeat(cents(batch["value"].to_numpy()), k),
+        idx = pa.array(np.repeat(np.arange(len(us), dtype=np.int64), k))
+        return pa.table({
+            key: batch.column(key).take(idx),
+            "window_start": pa.array(starts),
+            "value_cents": pa.array(np.repeat(cents(batch.column("value").to_numpy()), k)),
         })
 
-    def finish(batch: pd.DataFrame) -> pd.DataFrame:
-        batch["sum_value"] = batch["value_cents"] / 100.0
-        return batch.drop(columns=["value_cents"])
+    def finish(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "sum_value", pc.divide(batch.column("value_cents").cast(pa.float64()), 100.0)
+        ).drop_columns(["value_cents"])
 
     return (
-        events.map_batches(explode, batch_format="pandas")
+        events.map_batches(explode, batch_format="pyarrow")
         .groupby([key, "window_start"])
         .aggregate(Count(alias_name="n"), Sum("value_cents", alias_name="value_cents"))
-        .map_batches(finish, batch_format="pandas")
+        .map_batches(finish, batch_format="pyarrow")
     )
 
 

@@ -193,7 +193,10 @@ def test_shuffle_width_scales_with_cluster_cpus(monkeypatch):
 def test_ngram_exact_verify_not_undercounted_by_pair_cap():
     # two docs share 30 grams, 10 of which are "hot" (present in many
     # other docs -> capped star blocking). count-based scoring
-    # undercounts their intersection; exact_verify must not.
+    # undercounts their intersection (with a UserWarning);
+    # exact_verify must not.
+    import warnings
+
     from agentic_rag_for_multi_model_pdf_extraction_ray.ops.dedup import (
         ngram_jaccard_pair_ds, _gram_hashes,
     )
@@ -213,12 +216,20 @@ def test_ngram_exact_verify_not_undercounted_by_pair_cap():
     got = dict(zip(zip(out["a"], out["b"]), out["jaccard"]))
     ga = _gram_hashes(rows[0]["text"], 3)
     gb = _gram_hashes(rows[1]["text"], 3)
-    import numpy as np
-
     sh = np.intersect1d(ga, gb).size
     expect = round(sh / (ga.size + gb.size - sh), 6)
     assert got.get((51, 52)) == expect == 1.0
-    # count-based path undercounts the same pair below the threshold
-    low = ngram_jaccard_pair_ds(ds, n=3, threshold=0.9, pair_cap=4,
-                                exact_verify=False).to_pandas()
+    # count-based path undercounts the same pair below the threshold —
+    # and says so via the capped-gram warning
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        low = ngram_jaccard_pair_ds(ds, n=3, threshold=0.9, pair_cap=4,
+                                    exact_verify=False).to_pandas()
+    assert any("exceeded pair_cap" in str(x.message) for x in w)
     assert len(low) == 0 or (51, 52) not in set(zip(low["a"], low["b"]))
+    # no warning when nothing is capped
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        ngram_jaccard_pair_ds(rd.from_pandas(pd.DataFrame(rows[:2])),
+                              n=3, threshold=0.9).to_pandas()
+    assert not any("exceeded pair_cap" in str(x.message) for x in w)
