@@ -936,7 +936,9 @@ def _q_ngram_jaccard_exact(sf_dir: str):
     import pandas as pd
 
     if not len(out):
-        return pd.DataFrame({"a": [], "b": [], "jaccard": []})
+        return pd.DataFrame({"a": pd.Series(dtype="int64"),
+                             "b": pd.Series(dtype="int64"),
+                             "jaccard": pd.Series(dtype="float64")})
     return out.sort_values(["a", "b"]).reset_index(drop=True)
 
 
@@ -1009,11 +1011,66 @@ def _q_knn_ivf(sf_dir: str):
     return hits
 
 
+def _q_knn_store_full(sf_dir: str):
+    """Persisted-LSH-store completeness check, SQL-oracled: probing
+    EVERY bucket (n_probes = n_bits) makes the index query exhaustive,
+    so the result must equal q_knn's brute-force top-10 value-for-value
+    — proving the partitioned store round-trips rows exactly.  The
+    pruned (approximate) variant with its partition-pruning stats is
+    q_knn_store."""
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from agentic_rag_for_multi_model_pdf_extraction_ray.ops.similarity import (
+        build_lsh_index_store,
+        query_lsh_index,
+    )
+    from agentic_rag_for_multi_model_pdf_extraction_ray.sources.corpus import read_table
+
+    emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    q = np.array(emb.filter(pc.equal(emb["vec_id"], 0))["embedding"].to_pylist()[0])
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    idx = "/tmp/graft_knn_index_full"
+    shutil.rmtree(idx, ignore_errors=True)
+    build_lsh_index_store(ds, idx, n_bits=4)
+    hits, stats = query_lsh_index(idx, q, k=10, n_probes=4, exclude_ids={0})
+    assert stats["buckets_probed"] == stats["buckets_total"]
+    return hits
+
+
+def _q_knn_ivf_full(sf_dir: str):
+    """IVF-store completeness check, SQL-oracled: nprobe = n_centroids
+    scans every partition, so the result must equal q_knn's brute-force
+    top-10 (q_knn_ivf is the pruned variant)."""
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from agentic_rag_for_multi_model_pdf_extraction_ray.ops.similarity import (
+        build_ivf_index_store,
+        query_ivf_index,
+    )
+    from agentic_rag_for_multi_model_pdf_extraction_ray.sources.corpus import read_table
+
+    emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    q = np.array(emb.filter(pc.equal(emb["vec_id"], 0))["embedding"].to_pylist()[0])
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    idx = "/tmp/graft_knn_ivf_index_full"
+    shutil.rmtree(idx, ignore_errors=True)
+    build_ivf_index_store(ds, idx, n_centroids=16)
+    hits, stats = query_ivf_index(idx, q, k=10, nprobe=16, exclude_ids={0})
+    assert stats["buckets_probed"] == stats["buckets_total"]
+    return hits
+
+
 def _q_cosine_pairs_lsh(sf_dir: str):
     """Scale-path cosine near-dup: banded sign-LSH candidates +
     exact-cosine verify (ops/dedup.cosine_lsh_pair_ds).  Approximate
-    only in candidate recall (<1e-7 miss at cosine ≥0.95); rows-only —
-    the exact oracle is q_cosine_pairs' blocked all-pairs."""
+    only in candidate recall (<1e-7 miss per pair at cosine ≥0.95) —
+    in practice exact on this data, so it carries the full all-pairs
+    SQL oracle at threshold 0.95; emitted values are exact cosines by
+    construction."""
     from agentic_rag_for_multi_model_pdf_extraction_ray.ops.dedup import (
         cosine_lsh_pair_ds,
     )
@@ -1021,8 +1078,14 @@ def _q_cosine_pairs_lsh(sf_dir: str):
 
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     out = cosine_lsh_pair_ds(ds, threshold=0.95).to_pandas()
-    return out.sort_values(["a", "b"]).reset_index(drop=True) if len(out) \
-        else pd.DataFrame({"a": [], "b": [], "cosine": []})
+    if not len(out):
+        # typed empty: the tables hold no pair this similar, and the
+        # SQL oracle verifies the engine agrees (no false positives;
+        # planted-pair recall is covered in test_dedup_distributed)
+        return pd.DataFrame({"a": pd.Series(dtype="int64"),
+                             "b": pd.Series(dtype="int64"),
+                             "cosine": pd.Series(dtype="float64")})
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
 
 
 def _q_routed_answer(sf_dir: str):
@@ -1151,7 +1214,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_ngram_jaccard_exact": _q_ngram_jaccard_exact,
         "q_knn_lsh": _q_knn_lsh,
         "q_knn_store": _q_knn_store,
+        "q_knn_store_full": _q_knn_store_full,
         "q_knn_ivf": _q_knn_ivf,
+        "q_knn_ivf_full": _q_knn_ivf_full,
         "q_cosine_pairs_lsh": _q_cosine_pairs_lsh,
         "q_routed_answer": _q_routed_answer,
         "q_validated_chunks": _q_validated_chunks,
@@ -1349,6 +1414,30 @@ def oracle_sql() -> dict[str, str]:
                          * 1000000 + 0.5) / 1000000 AS score
             FROM embeddings WHERE vec_id != 0
             ORDER BY score DESC, vec_id LIMIT 10
+        """,
+        "q_knn_store_full": """
+            WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+            SELECT vec_id,
+                   floor(list_cosine_similarity(embedding::DOUBLE[], (SELECT qv FROM q))
+                         * 1000000 + 0.5) / 1000000 AS score
+            FROM embeddings WHERE vec_id != 0
+            ORDER BY score DESC, vec_id LIMIT 10
+        """,
+        "q_knn_ivf_full": """
+            WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+            SELECT vec_id,
+                   floor(list_cosine_similarity(embedding::DOUBLE[], (SELECT qv FROM q))
+                         * 1000000 + 0.5) / 1000000 AS score
+            FROM embeddings WHERE vec_id != 0
+            ORDER BY score DESC, vec_id LIMIT 10
+        """,
+        "q_cosine_pairs_lsh": """
+            SELECT a.vec_id AS a, b.vec_id AS b,
+                   floor(list_cosine_similarity(a.embedding::DOUBLE[],
+                                                b.embedding::DOUBLE[])
+                         * 1000000 + 0.5) / 1000000 AS cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.95
         """,
         "q_ngram_jaccard_exact": r"""
             WITH toks AS (

@@ -98,7 +98,8 @@ def cmd_query(args) -> None:
     with_vecs = embed(chunks, dim=args.dim, concurrency=2)
     if getattr(args, "routed", False):
         ans = answer_question_routed(with_vecs, args.question, dim=args.dim,
-                                     validate=not args.no_validate)
+                                     validate=not args.no_validate,
+                                     index_dir=getattr(args, "index", None))
     else:
         ans = answer_question(with_vecs, args.question, dim=args.dim,
                               validate=not args.no_validate)
@@ -148,6 +149,9 @@ def main(argv=None) -> None:
     pq_.add_argument("--routed", action="store_true",
                      help="conditionally-routed flow (quality gate, "
                           "widened re-retrieve, grounding-gate revise)")
+    pq_.add_argument("--index", default=None,
+                     help="persisted LSH index dir (build_store_index): "
+                          "routed retrieval probes only its buckets")
     pq_.set_defaults(fn=cmd_query)
 
     pp = sub.add_parser("pipeline", help="ingest then query")

@@ -337,7 +337,13 @@ def verify_pairs(pairs: rd.Dataset, features: rd.Dataset, score_fn,
 
     def score(b: pd.DataFrame) -> pd.DataFrame:
         if not len(b):
-            return pd.DataFrame({"a": [], "b": [], "score": []})
+            # dtype-preserving empty: an untyped {"a": []} block is
+            # float64 and poisons the unioned id dtype downstream
+            base = (b[["a", "b"]].copy() if {"a", "b"} <= set(b.columns)
+                    else pd.DataFrame({"a": pd.Series(dtype=object),
+                                       "b": pd.Series(dtype=object)}))
+            base["score"] = pd.Series(dtype="float64")
+            return base
         extras = tuple(b[c].to_numpy() for c in pass_cols)
         s = np.asarray(score_fn(b["feat_a"].tolist(), b["feat_b"].tolist(),
                                 *extras),
@@ -1009,7 +1015,9 @@ def ngram_jaccard_pair_ds(ds: rd.Dataset, n: int = 3, threshold: float = 0.5,
 
     def thresh(b: pd.DataFrame) -> pd.DataFrame:
         if not len(b):
-            return pd.DataFrame({"a": [], "b": [], "jaccard": []})
+            out = b[["a", "b"]].copy()  # dtype-preserving empty
+            out["jaccard"] = pd.Series(dtype="float64")
+            return out
         return pd.DataFrame({
             "a": b["a"], "b": b["b"],
             "jaccard": round_half_up(b["score"].to_numpy(), 6),
@@ -1206,7 +1214,9 @@ def cosine_lsh_pair_ds(ds: rd.Dataset, threshold: float = 0.95, n_bits: int = 10
 
     def thresh(b: pd.DataFrame) -> pd.DataFrame:
         if not len(b):
-            return pd.DataFrame({"a": [], "b": [], "cosine": []})
+            out = b[["a", "b"]].copy()  # dtype-preserving empty
+            out["cosine"] = pd.Series(dtype="float64")
+            return out
         return pd.DataFrame({
             "a": b["a"], "b": b["b"],
             "cosine": round_half_up(b["score"].to_numpy(), 6),

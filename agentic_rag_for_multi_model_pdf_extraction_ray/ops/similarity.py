@@ -233,6 +233,7 @@ def query_lsh_index(index_dir: str, query_vec: np.ndarray, k: int = 10,
         "buckets_total": 1 << n_bits,
         "buckets_probed": len(probe),
         "files_read": len(files),
+        "paths": files,
     }
     if not files:
         return pd.DataFrame({meta["id_col"]: [], "score": []}), stats

@@ -29,37 +29,62 @@ TOP_K = 8
 FIGURE_TOP_K = 3
 
 
-def retrieve(chunks_with_embeddings: rd.Dataset, question: str,
+def retrieve(chunks_with_embeddings: rd.Dataset | None, question: str,
              top_k: int = TOP_K, figure_top_k: int = FIGURE_TOP_K,
-             dim: int = 384) -> pd.DataFrame:
+             dim: int = 384, index_dir: str | None = None,
+             n_probes: int = 2, stats_out: dict | None = None) -> pd.DataFrame:
     """Top-k retrieval with the reference's figure boost + text dedup
-    (J2, orchestrator.py:120-127)."""
+    (J2, orchestrator.py:120-127).
+
+    Default: exact brute force over the full chunk dataset (2–3 corpus
+    passes — the oracle path).  With ``index_dir`` (a persisted LSH
+    index built by ``pipelines.vector_store.build_store_index`` over
+    the chunk store) every pass — general top-k, figure top-k, and the
+    text lookup — touches ONLY the probed buckets' parquet files; pass
+    a dict as ``stats_out`` to receive the pruning evidence
+    (buckets_probed / files_read).  ``chunks_with_embeddings`` may be
+    None in that mode."""
     enc = HashingEmbedder(dim=dim, text_col="structured_text")
     qv = enc._encode(question)
-
-    hits = knn_bruteforce(
-        chunks_with_embeddings, qv, k=top_k, id_col="chunk_id", vec_col="embedding"
-    )
     visual = any(w in question.lower() for w in ("figure", "image", "chart", "diagram"))
-    if visual:
-        figs = chunks_with_embeddings.map_batches(
-            lambda b: b[b["kind"] == "figure"], batch_format="pandas"
-        )
-        fig_hits = knn_bruteforce(
-            figs, qv, k=figure_top_k, id_col="chunk_id", vec_col="embedding"
-        )
+
+    if index_dir is not None:
+        from ..ops.similarity import query_lsh_index
+
+        hits, stats = query_lsh_index(index_dir, qv, k=top_k, n_probes=n_probes)
+        if visual:
+            fig_hits, _ = query_lsh_index(
+                index_dir, qv, k=figure_top_k, n_probes=n_probes,
+                filter_fn=lambda b: b[b["kind"] == "figure"])
+        else:
+            fig_hits = hits.head(0)
+        if stats_out is not None:
+            stats_out.update(stats)
+        lookup = rd.read_parquet(stats["paths"]) if stats["paths"] else None
     else:
-        fig_hits = hits.head(0)
+        hits = knn_bruteforce(
+            chunks_with_embeddings, qv, k=top_k, id_col="chunk_id", vec_col="embedding"
+        )
+        if visual:
+            figs = chunks_with_embeddings.map_batches(
+                lambda b: b[b["kind"] == "figure"], batch_format="pandas"
+            )
+            fig_hits = knn_bruteforce(
+                figs, qv, k=figure_top_k, id_col="chunk_id", vec_col="embedding"
+            )
+        else:
+            fig_hits = hits.head(0)
+        lookup = chunks_with_embeddings
 
     # join back chunk text for the merged hits (tiny driver-side lookup)
     want = set(hits["chunk_id"]) | set(fig_hits["chunk_id"])
-    if not want:  # empty corpus/retrieval: skip the text lookup
+    if not want or lookup is None:  # empty corpus/retrieval: no lookup
         return pd.DataFrame({"chunk_id": pd.Series(dtype=object),
                              "score": pd.Series(dtype="float64"),
                              "kind": pd.Series(dtype=object),
                              "text": pd.Series(dtype=object)})
     texts = (
-        chunks_with_embeddings.map_batches(
+        lookup.map_batches(
             lambda b: b[b["chunk_id"].isin(want)][["chunk_id", "kind", "structured_text"]],
             batch_format="pandas",
         ).to_pandas()
@@ -98,11 +123,12 @@ def answer_question(chunks_with_embeddings: rd.Dataset, question: str,
     return result
 
 
-def answer_question_routed(chunks_with_embeddings: rd.Dataset, question: str,
+def answer_question_routed(chunks_with_embeddings: rd.Dataset | None, question: str,
                            top_k: int = TOP_K, dim: int = 384,
                            validate: bool = True, min_score: float = 0.0,
                            widen_factor: int = 3,
-                           answer_fn=None) -> dict:
+                           answer_fn=None, index_dir: str | None = None,
+                           n_probes: int = 2) -> dict:
     """Conditionally-routed query flow — the reference's LangGraph
     graph (``langgraph_pipeline.py:387-405``, conditional edges
     ``route_after_quality_check`` / ``route_after_decide_validate`` /
@@ -122,19 +148,28 @@ def answer_question_routed(chunks_with_embeddings: rd.Dataset, question: str,
       → finalize.
 
     ``route`` in the result records the phases taken, mirroring the
-    reference's ``current_phase`` trace."""
+    reference's ``current_phase`` trace.
+
+    With ``index_dir`` retrieval probes the persisted LSH index
+    (bucket-pruned reads — the scale default); the result then carries
+    ``retrieval_stats`` with the pruning evidence.  Brute force over
+    ``chunks_with_embeddings`` remains the exact oracle path."""
     answer_fn = answer_fn or _extractive_answer
     route = ["retrieve", "check_quality"]
     warnings: list[str] = []
+    rstats: dict = {}
 
-    hits = retrieve(chunks_with_embeddings, question, top_k=top_k, dim=dim)
+    hits = retrieve(chunks_with_embeddings, question, top_k=top_k, dim=dim,
+                    index_dir=index_dir, n_probes=n_probes, stats_out=rstats)
     if len(hits) == 0 or float(hits["score"].max()) < min_score:
         # low-quality first pass → ONE widened re-retrieve (more
         # context for generation; a bigger k cannot raise the max
         # score, so the widened pass is judged on hit count only)
         route.append("re_retrieve_widened")
         hits = retrieve(chunks_with_embeddings, question,
-                        top_k=top_k * widen_factor, dim=dim)
+                        top_k=top_k * widen_factor, dim=dim,
+                        index_dir=index_dir, n_probes=n_probes,
+                        stats_out=rstats)
         if len(hits) and float(hits["score"].max()) < min_score:
             warnings.append(
                 "low retrieval confidence; proceeding with widened context")
@@ -151,6 +186,10 @@ def answer_question_routed(chunks_with_embeddings: rd.Dataset, question: str,
         "warnings": warnings,
         "insufficient_context": insufficient,
     }
+    if rstats:
+        # drop the raw file list from the result shape; keep counts
+        base["retrieval_stats"] = {k: v for k, v in rstats.items()
+                                   if k != "paths"}
     if insufficient:
         warnings.append("No relevant context found for question")
         route.append("finalize")

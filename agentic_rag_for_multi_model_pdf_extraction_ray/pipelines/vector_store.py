@@ -26,7 +26,12 @@ import ray.data as rd
 
 from ..functions.hashing import stable_bucket
 from ..stages.embed import HashingEmbedder, embed
-from ..state.manifest import partition_dir, read_output_ds, write_partition
+from ..state.manifest import (
+    _plain_arrow,
+    partition_dir,
+    read_output_ds,
+    write_partition,
+)
 
 
 def upsert_chunks(chunks: rd.Dataset, store_dir: str, dim: int = 384,
@@ -50,7 +55,9 @@ def upsert_chunks(chunks: rd.Dataset, store_dir: str, dim: int = 384,
 
     def write_group(group: pa.Table) -> pa.Table:
         part = int(group.column("part")[0].as_py())
-        data = group.drop_columns(["part"]).sort_by("chunk_id")
+        # plain Arrow types up front so the merge with an existing
+        # (plain-typed) partition file concat-matches
+        data = _plain_arrow(group.drop_columns(["part"])).sort_by("chunk_id")
         # upsert-by-id (reference store.py:71-76): keep existing rows
         # whose chunk_id is NOT incoming — a partial re-ingest (one
         # updated document) must not delete other documents' chunks

@@ -87,13 +87,32 @@ def check_layout(out_dir: str, layout: dict) -> None:
             )
 
 
+def _plain_arrow(table: pa.Table) -> pa.Table:
+    """Strip extension types (e.g. Ray's tensor extension on ndarray
+    columns) down to their storage arrays, so persisted partitions are
+    PLAIN Arrow/Parquet any reader can consume — and re-reading them in
+    a fresh worker can't trip extension-dtype reconstruction."""
+    cols, changed = [], False
+    for col in table.columns:
+        if isinstance(col.type, pa.ExtensionType):
+            col = pa.chunked_array([c.storage for c in col.chunks]) \
+                if col.num_chunks else pa.chunked_array([], col.type.storage_type)
+            changed = True
+        cols.append(col)
+    if not changed:
+        return table
+    return pa.table(dict(zip(table.column_names, cols)))
+
+
 def write_partition(out_dir: str, part: int, table: pa.Table, fingerprint: str,
                     layout: dict | None = None) -> dict:
     """Atomically write one partition's data + manifest.
 
     Write to a tmp sibling then ``os.replace``-rename into place, so a
     kill mid-write never leaves a partition that looks complete.
+    Extension-typed columns are stored as their plain storage type.
     """
+    table = _plain_arrow(table)
     final = partition_dir(out_dir, part)
     tmp = final + f".tmp-{uuid.uuid4().hex[:8]}"
     os.makedirs(tmp, exist_ok=True)

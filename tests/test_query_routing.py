@@ -111,3 +111,35 @@ def test_grounded_custom_answer_not_revised():
         _corpus(), "ray data streaming execution", dim=64, answer_fn=truthful)
     assert "revise" not in ans["route"]
     assert ans["validation_summary"]["is_grounded"]
+
+
+def test_routed_answer_identical_via_persisted_index(tmp_path):
+    # VERDICT r2 #7: the scale path (bucket-pruned index probe) must
+    # back the routed flow and produce the same answer as brute force,
+    # with pruning stats recorded
+    from agentic_rag_for_multi_model_pdf_extraction_ray.ops.similarity import (
+        build_lsh_index_store,
+    )
+
+    corpus = _corpus().materialize()
+    idx = str(tmp_path / "idx")
+    # few bits + 2 Hamming probes -> every bucket reachable: recall 1,
+    # so the two paths must agree exactly
+    build_lsh_index_store(corpus, idx, n_bits=2, id_col="chunk_id",
+                          vec_col="embedding")
+    brute = answer_question_routed(corpus, "ray data streaming execution", dim=64)
+    via_index = answer_question_routed(None, "ray data streaming execution",
+                                       dim=64, index_dir=idx, n_probes=2)
+    assert via_index["answer"] == brute["answer"]
+    assert via_index["source_chunks"] == brute["source_chunks"]
+    assert via_index["route"] == brute["route"]
+    st = via_index["retrieval_stats"]
+    assert st["files_read"] >= 1 and st["buckets_total"] == 4
+    assert "retrieval_stats" not in brute
+    # pruning is real: fewer probes at more bits reads fewer files
+    idx2 = str(tmp_path / "idx2")
+    build_lsh_index_store(corpus, idx2, n_bits=4, id_col="chunk_id",
+                          vec_col="embedding")
+    pruned = answer_question_routed(None, "ray data streaming execution",
+                                    dim=64, index_dir=idx2, n_probes=0)
+    assert pruned["retrieval_stats"]["buckets_probed"] == 1
