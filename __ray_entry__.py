@@ -1011,6 +1011,19 @@ def _q_knn_ivf(sf_dir: str):
     return hits
 
 
+def _q_bm25(sf_dir: str):
+    """BM25 top-20 for a fixed query over the documents table
+    (ops/text_rank.bm25_score): two streaming corpus passes (stats,
+    then score+partial-top-k), no corpus shuffle, tiny driver reduce.
+    Exactly mirrored by a pure-SQL BM25 oracle (same k1=1.2 b=0.75,
+    same tokenization dialect)."""
+    from agentic_rag_for_multi_model_pdf_extraction_ray.ops.text_rank import bm25_score
+    from agentic_rag_for_multi_model_pdf_extraction_ray.sources.corpus import read_table
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return bm25_score(docs, "stream shuffle spill", k=20)
+
+
 def _q_knn_store_full(sf_dir: str):
     """Persisted-LSH-store completeness check, SQL-oracled: probing
     EVERY bucket (n_probes = n_bits) makes the index query exhaustive,
@@ -1214,6 +1227,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_ngram_jaccard_exact": _q_ngram_jaccard_exact,
         "q_knn_lsh": _q_knn_lsh,
         "q_knn_store": _q_knn_store,
+        "q_bm25": _q_bm25,
         "q_knn_store_full": _q_knn_store_full,
         "q_knn_ivf": _q_knn_ivf,
         "q_knn_ivf_full": _q_knn_ivf_full,
@@ -1414,6 +1428,30 @@ def oracle_sql() -> dict[str, str]:
                          * 1000000 + 0.5) / 1000000 AS score
             FROM embeddings WHERE vec_id != 0
             ORDER BY score DESC, vec_id LIMIT 10
+        """,
+        "q_bm25": r"""
+            WITH toks AS (
+              SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+              FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+            ),
+            stats AS (SELECT count(*) AS n, sum(len(t)) * 1.0 / count(*) AS avgdl FROM toks),
+            qt AS (SELECT unnest(['stream','shuffle','spill']) AS term),
+            tf AS (
+              SELECT doc_id, term, len(list_filter(t, x -> x = term)) AS f, len(t) AS dl
+              FROM toks CROSS JOIN qt
+            ),
+            df AS (SELECT term, sum(CASE WHEN f > 0 THEN 1 ELSE 0 END) AS d FROM tf GROUP BY term),
+            scored AS (
+              SELECT tf.doc_id,
+                     sum(ln((stats.n - df.d + 0.5) / (df.d + 0.5) + 1.0)
+                         * (tf.f * (1.2 + 1.0))
+                         / (tf.f + 1.2 * (1.0 - 0.75 + 0.75 * (tf.dl / stats.avgdl)))) AS s
+              FROM tf JOIN df USING (term) CROSS JOIN stats
+              GROUP BY tf.doc_id
+            )
+            SELECT doc_id, floor(s * 1000000 + 0.5) / 1000000 AS score
+            FROM scored WHERE s > 0
+            ORDER BY score DESC, doc_id LIMIT 20
         """,
         "q_knn_store_full": """
             WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)

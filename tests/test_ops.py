@@ -221,3 +221,21 @@ def test_embedder_deterministic_and_normalized():
     M = np.stack(out["embedding"].to_numpy())
     assert M.shape == (10, 32)
     np.testing.assert_allclose(np.linalg.norm(M, axis=1), 1.0, rtol=1e-5)
+
+
+def test_bm25_ranks_matching_docs():
+    from agentic_rag_for_multi_model_pdf_extraction_ray.ops.text_rank import bm25_score
+
+    rows = [
+        {"doc_id": 1, "text": "spark shuffle spill shuffle spill"},
+        {"doc_id": 2, "text": "spark shuffle " + "filler " * 50},
+        {"doc_id": 3, "text": "nothing relevant here"},
+        {"doc_id": 4, "text": ""},
+    ]
+    out = bm25_score(_docs(rows), "shuffle spill", k=10)
+    # doc 1: both terms, high tf, short -> top; doc 2: one term, long
+    assert out["doc_id"].tolist() == [1, 2]
+    assert out["score"].iloc[0] > out["score"].iloc[1] > 0
+    # empty query and empty corpus degrade to typed empties
+    assert len(bm25_score(_docs(rows), "")) == 0
+    assert len(bm25_score(_docs([{"doc_id": 9, "text": ""}]), "x")) == 0
