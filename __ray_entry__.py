@@ -1011,6 +1011,22 @@ def _q_knn_ivf(sf_dir: str):
     return hits
 
 
+def _q_running_total(sf_dir: str):
+    """Running total of event value in global event order — the
+    distributed two-level prefix scan (ops/scan.prefix_scan: fixed-
+    width order buckets -> tiny driver-side exclusive scan over bucket
+    partials -> seeded per-bucket accumulate).  Exact via integer
+    cents; mirrored by a SQL window-function oracle."""
+    from agentic_rag_for_multi_model_pdf_extraction_ray.ops.scan import prefix_scan
+    from agentic_rag_for_multi_model_pdf_extraction_ray.sources.corpus import read_table
+
+    ev = read_table(sf_dir, "events", columns=["event_id", "value"])
+    out = prefix_scan(ev, "event_id", "value", op="sum", bucket_width=4096,
+                      scale=100, alias="running_value")
+    return out.map_batches(
+        lambda b: b[["event_id", "running_value"]], batch_format="pandas")
+
+
 def _q_bm25(sf_dir: str):
     """BM25 top-20 for a fixed query over the documents table
     (ops/text_rank.bm25_score): two streaming corpus passes (stats,
@@ -1228,6 +1244,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_knn_lsh": _q_knn_lsh,
         "q_knn_store": _q_knn_store,
         "q_bm25": _q_bm25,
+        "q_running_total": _q_running_total,
         "q_knn_store_full": _q_knn_store_full,
         "q_knn_ivf": _q_knn_ivf,
         "q_knn_ivf_full": _q_knn_ivf_full,
@@ -1428,6 +1445,12 @@ def oracle_sql() -> dict[str, str]:
                          * 1000000 + 0.5) / 1000000 AS score
             FROM embeddings WHERE vec_id != 0
             ORDER BY score DESC, vec_id LIMIT 10
+        """,
+        "q_running_total": """
+            SELECT event_id,
+                   sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                       OVER (ORDER BY event_id) / 100.0 AS running_value
+            FROM events
         """,
         "q_bm25": r"""
             WITH toks AS (

@@ -239,3 +239,23 @@ def test_bm25_ranks_matching_docs():
     # empty query and empty corpus degrade to typed empties
     assert len(bm25_score(_docs(rows), "")) == 0
     assert len(bm25_score(_docs([{"doc_id": 9, "text": ""}]), "x")) == 0
+
+
+def test_prefix_scan_running_sum_and_max():
+    # distributed two-level scan == single-threaded cumulative oracle
+    from agentic_rag_for_multi_model_pdf_extraction_ray.ops.scan import prefix_scan
+
+    rng = np.random.RandomState(0)
+    n = 1000
+    df = pd.DataFrame({"event_id": rng.permutation(n),
+                       "value": np.round(rng.uniform(0, 100, n), 2)})
+    ds = rd.from_pandas(df).repartition(5)
+    ref = df.sort_values("event_id")
+    out = prefix_scan(ds, "event_id", "value", op="sum", bucket_width=128,
+                      scale=100).to_pandas().sort_values("event_id")
+    want = np.floor(ref["value"].to_numpy() * 100 + 0.5).astype(np.int64).cumsum() / 100
+    assert np.array_equal(out["running_sum"].to_numpy(), want)
+    outm = prefix_scan(ds, "event_id", "value", op="max",
+                       bucket_width=128).to_pandas().sort_values("event_id")
+    assert np.array_equal(outm["running_max"].to_numpy(),
+                          np.maximum.accumulate(ref["value"].to_numpy()))
