@@ -233,3 +233,24 @@ def test_ngram_exact_verify_not_undercounted_by_pair_cap():
         ngram_jaccard_pair_ds(rd.from_pandas(pd.DataFrame(rows[:2])),
                               n=3, threshold=0.9).to_pandas()
     assert not any("exceeded pair_cap" in str(x.message) for x in w)
+
+
+def test_minhash_small_path_matches_distributed_cc():
+    # the bounded driver union-find fast path and the distributed
+    # min-label CC must label identically
+    from agentic_rag_for_multi_model_pdf_extraction_ray.ops.dedup import (
+        minhash_cluster_labels,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog " * 5
+    rows = [{"doc_id": i, "text": base + ("x" if i % 3 == 0 else "")}
+            for i in range(12)]
+    rows += [{"doc_id": 100 + i, "text": f"totally different doc {i} " * 8}
+             for i in range(4)]
+    ds = rd.from_pandas(pd.DataFrame(rows))
+    small = minhash_cluster_labels(ds, threshold=0.6).to_pandas()
+    dist = minhash_cluster_labels(ds, threshold=0.6,
+                                  small_edges_threshold=0).to_pandas()
+    sm = dict(zip(small["doc_id"], small["cluster_id"]))
+    dm = dict(zip(dist["doc_id"], dist["cluster_id"]))
+    assert sm == dm and len(sm) == len(rows)
