@@ -259,3 +259,44 @@ def test_prefix_scan_running_sum_and_max():
                        bucket_width=128).to_pandas().sort_values("event_id")
     assert np.array_equal(outm["running_max"].to_numpy(),
                           np.maximum.accumulate(ref["value"].to_numpy()))
+
+
+def test_prefix_scan_property_random_shapes():
+    # randomized shapes/widths vs the single-threaded cumulative oracle
+    from agentic_rag_for_multi_model_pdf_extraction_ray.ops.scan import prefix_scan
+
+    rng = np.random.RandomState(42)
+    for trial in range(3):
+        n = int(rng.randint(1, 400))
+        width = int(rng.choice([1, 7, 64, 1000]))
+        order = rng.permutation(n) * int(rng.choice([1, 3]))  # gappy ok
+        vals = np.round(rng.uniform(-50, 50, n), 2)
+        df = pd.DataFrame({"k": order, "v": vals})
+        ds = rd.from_pandas(df).repartition(int(rng.randint(1, 6)))
+        out = prefix_scan(ds, "k", "v", op="sum", bucket_width=width,
+                          scale=100).to_pandas().sort_values("k")
+        ref = df.sort_values("k")
+        want = np.floor(ref["v"].to_numpy() * 100 + 0.5).astype(np.int64).cumsum() / 100
+        assert np.array_equal(out["running_sum"].to_numpy(), want), (n, width)
+
+
+def test_hash_tokens_deterministic_across_processes():
+    # the token-hash contract claims cross-process determinism (fixed
+    # siphash key); guard it with a fresh-interpreter comparison
+    import subprocess
+    import sys
+
+    from agentic_rag_for_multi_model_pdf_extraction_ray.functions.hashing import (
+        hash_tokens,
+    )
+
+    toks = ["alpha", "beta", "élève", "", "x" * 100]
+    here = hash_tokens(toks).tolist()
+    code = (
+        "import sys; sys.path.insert(0, '/root/repo');"
+        "from agentic_rag_for_multi_model_pdf_extraction_ray.functions.hashing import hash_tokens;"
+        f"print(hash_tokens({toks!r}).tolist())"
+    )
+    out = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                         text=True, check=True).stdout.strip()
+    assert out == str(here)
