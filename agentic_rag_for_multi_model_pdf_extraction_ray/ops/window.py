@@ -49,10 +49,16 @@ def tumbling_window(events: rd.Dataset, key: str = "event_type",
             "sum_value", pc.divide(batch.column("value_cents").cast(pa.float64()), 100.0)
         ).drop_columns(["value_cents"])
 
+    from .agg import partial_groupby_sum_count
+
     return (
-        events.map_batches(add_window, batch_format="pyarrow")
-        .groupby([key, "window_start"])
-        .aggregate(Count(alias_name="n"), Sum("value_cents", alias_name="value_cents"))
+        partial_groupby_sum_count(
+            events.map_batches(add_window, batch_format="pyarrow"),
+            [key, "window_start"], {"value_cents": "value_cents"},
+            count_alias="n",
+        )  # map-side combine: the shuffle moves #keys×#windows rows
+        # per batch, not every event (Ray's sort-based groupby sorts
+        # raw rows otherwise)
         .map_batches(finish, batch_format="pyarrow")
     )
 
@@ -96,10 +102,15 @@ def hopping_window(events: rd.Dataset, key: str = "event_type",
             "sum_value", pc.divide(batch.column("value_cents").cast(pa.float64()), 100.0)
         ).drop_columns(["value_cents"])
 
+    from .agg import partial_groupby_sum_count
+
     return (
-        events.map_batches(explode, batch_format="pyarrow")
-        .groupby([key, "window_start"])
-        .aggregate(Count(alias_name="n"), Sum("value_cents", alias_name="value_cents"))
+        partial_groupby_sum_count(
+            events.map_batches(explode, batch_format="pyarrow"),
+            [key, "window_start"], {"value_cents": "value_cents"},
+            count_alias="n",
+        )  # the ×K explode collapses back to #keys×#windows rows per
+        # batch before the shuffle
         .map_batches(finish, batch_format="pyarrow")
     )
 
