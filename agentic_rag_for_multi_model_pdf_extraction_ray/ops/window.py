@@ -116,22 +116,47 @@ def hopping_window(events: rd.Dataset, key: str = "event_type",
 
 
 def sessionize(events: rd.Dataset, key: str = "user_id",
-               gap_sec: int = SESSION_GAP_SEC) -> rd.Dataset:
+               gap_sec: int = SESSION_GAP_SEC,
+               n_buckets: int | None = None) -> rd.Dataset:
     """Per-key session windows: a new session starts when the gap to
     the previous event exceeds ``gap_sec``.  One row per session:
-    (key, session_idx 0-based in ts order, n_events, session_start)."""
+    (key, session_idx 0-based in ts order, n_events, session_start).
 
-    def per_user(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(["ts", "event_id"])
-        gaps = g["ts"].diff().dt.total_seconds()
-        new_sess = (gaps > gap_sec) | gaps.isna()
-        sess_idx = new_sess.cumsum() - 1
-        out = g.assign(session_idx=sess_idx).groupby("session_idx", as_index=False).agg(
-            n_events=("event_id", "size"),
-            session_start=("ts", "min"),
-        )
-        out[key] = g[key].iloc[0]
-        out["session_start"] = out["session_start"].dt.strftime("%Y-%m-%d %H:%M:%S.%f")
+    Keys are hash-bucketed into a BOUNDED number of groups (all events
+    of a key land in one bucket) and each bucket sessionizes ALL its
+    keys in one vectorized pass — one ``map_groups`` call per bucket,
+    not per key (per-group overhead dominates when keys are small,
+    [[ray-local-pitfalls]])."""
+    import numpy as np
+
+    if n_buckets is None:
+        n_buckets = 256
+
+    def add_bk(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["__bk"] = (pd.util.hash_array(b[key].to_numpy())
+                     % np.uint64(n_buckets)).astype(np.int64)
+        return b
+
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values([key, "ts", "event_id"], kind="mergesort")
+        same_key = g[key].to_numpy()[1:] == g[key].to_numpy()[:-1]
+        gaps = g["ts"].diff().dt.total_seconds().to_numpy()
+        new_sess = np.ones(len(g), dtype=bool)
+        new_sess[1:] = ~same_key | (gaps[1:] > gap_sec)
+        sess_id = np.cumsum(new_sess) - 1  # bucket-global session ids
+        out = (g.assign(__sid=sess_id)
+               .groupby("__sid", sort=False, as_index=False)
+               .agg(**{key: (key, "first")},
+                    n_events=("event_id", "size"),
+                    session_start=("ts", "min")))
+        # 0-based per-key session index in ts order (sessions are
+        # emitted in (key, ts) order, so a per-key cumcount is exact)
+        out["session_idx"] = out.groupby(key, sort=False).cumcount()
+        out["session_start"] = out["session_start"].dt.strftime(
+            "%Y-%m-%d %H:%M:%S.%f")
         return out[[key, "session_idx", "n_events", "session_start"]]
 
-    return events.groupby(key).map_groups(per_user, batch_format="pandas")
+    return (events.map_batches(add_bk, batch_format="pandas")
+            .groupby("__bk")
+            .map_groups(per_bucket, batch_format="pandas"))
