@@ -46,17 +46,34 @@ def bernoulli_sample(ds: rd.Dataset, key_col: str, rate: float) -> rd.Dataset:
 
 
 def stratified_head(ds: rd.Dataset, group_col: str, order_col, n: int,
-                    ascending=True) -> rd.Dataset:
+                    ascending=True, n_buckets: int = 256) -> rd.Dataset:
     """First n rows per group in a deterministic order (SQL
     ``row_number() over (partition by g order by ...)``); pass lists
-    for multi-column ordering / top-N-by-value."""
+    for multi-column ordering / top-N-by-value.
+
+    Scale shape: each batch first keeps at most n rows per group (the
+    global per-group top-n is a subset of the union of per-batch
+    top-ns — a combiner, so the shuffle moves ≤ n×#groups×#batches
+    rows), then groups are hash-bucketed into a BOUNDED number of
+    map_groups calls, each resolving ALL its groups in one vectorized
+    sort+head (per-group map_groups overhead dominates for many small
+    groups)."""
     order_cols = order_col if isinstance(order_col, list) else [order_col]
 
-    def head(group: pd.DataFrame) -> pd.DataFrame:
-        return group.sort_values(order_cols, ascending=ascending,
-                                 kind="mergesort").head(n)
+    def local_prune(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.sort_values(order_cols, ascending=ascending, kind="mergesort")
+        b = b.groupby(group_col, sort=False).head(n).copy()
+        b["__bk"] = (pd.util.hash_array(b[group_col].to_numpy())
+                     % np.uint64(n_buckets)).astype(np.int64)
+        return b
 
-    return ds.groupby(group_col).map_groups(head, batch_format="pandas")
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(order_cols, ascending=ascending, kind="mergesort")
+        return g.groupby(group_col, sort=False).head(n).drop(columns="__bk")
+
+    return (ds.map_batches(local_prune, batch_format="pandas")
+            .groupby("__bk")
+            .map_groups(per_bucket, batch_format="pandas"))
 
 
 def grouped_median(ds: rd.Dataset, group_col: str, value_col: str,
