@@ -63,24 +63,31 @@ def exact_dedup_keys(ds: rd.Dataset, id_col: str = "doc_id", text_col: str = "te
     )
 
 
-def exact_dedup(ds: rd.Dataset, id_col: str = "doc_id", text_col: str = "text") -> rd.Dataset:
-    """Keep the min-id representative row per exact text.
-
-    groupby(fp).map_groups(head(1) after sort) — the canonical
-    hash-partition + per-group-first shape.
-    """
+def exact_dedup(ds: rd.Dataset, id_col: str = "doc_id", text_col: str = "text",
+                n_buckets: int = 1024) -> rd.Dataset:
+    """Keep the min-id representative row per exact text — the
+    canonical hash-partition + per-group-first shape, with a map-side
+    combiner (each batch keeps one row per fp first) and a BOUNDED
+    bucket count (one vectorized dedup per bucket, not one reduce
+    group per distinct text — the per-group overhead trap)."""
 
     def add_fp(batch: pd.DataFrame) -> pd.DataFrame:
         batch = batch.copy()
         batch["fp"] = fingerprint_batch(batch[text_col])
+        # combiner: local min-id row per fp before the shuffle
+        batch = (batch.sort_values(id_col, kind="mergesort")
+                 .drop_duplicates("fp"))
+        batch["__bk"] = (_id_hash(batch["fp"]) % np.uint64(n_buckets)
+                         ).astype(np.int64)
         return batch
 
     def first(group: pd.DataFrame) -> pd.DataFrame:
-        return group.sort_values(id_col).head(1)
+        return (group.sort_values(id_col, kind="mergesort")
+                .drop_duplicates("fp").drop(columns=["__bk"]))
 
     return (
         ds.map_batches(add_fp, batch_format="pandas")
-        .groupby("fp")
+        .groupby("__bk")
         .map_groups(first, batch_format="pandas")
     )
 
@@ -307,7 +314,8 @@ def _within_bucket_pairs(g: pd.DataFrame, bucket_col: str, id_col: str,
 
 def verify_pairs(pairs: rd.Dataset, features: rd.Dataset, score_fn,
                  id_col: str = "doc_id", feat_col: str = "feat",
-                 num_partitions: int = 8, pass_cols: tuple = ()) -> rd.Dataset:
+                 num_partitions: int | None = None,
+                 pass_cols: tuple = ()) -> rd.Dataset:
     """Score candidate pairs against a per-id feature table with two
     hash-partitioned joins — each id's feature ships to exactly the
     partitions that need it; nothing lands on the driver.
@@ -328,6 +336,9 @@ def verify_pairs(pairs: rd.Dataset, features: rd.Dataset, score_fn,
 
     fa = _renamed("a")
     fb = _renamed("b")
+    if num_partitions is None:
+        # cluster-derived, not pinned: sized_join only caps DOWN
+        num_partitions = _shuffle_width(0.5)
     from .join import sized_join
 
     j = sized_join(
@@ -355,7 +366,7 @@ def verify_pairs(pairs: rd.Dataset, features: rd.Dataset, score_fn,
 
 
 def connected_components_min_label(edges: rd.Dataset, max_iters: int = 30,
-                                   num_partitions: int = 8,
+                                   num_partitions: int | None = None,
                                    n_buckets: int = 1024) -> rd.Dataset:
     """Distributed connected components by iterative min-label
     propagation — the scale replacement for driver-side union-find.
@@ -375,6 +386,9 @@ def connected_components_min_label(edges: rd.Dataset, max_iters: int = 30,
 
     Returns (node, label) for every node that appears in an edge.
     """
+
+    if num_partitions is None:
+        num_partitions = _shuffle_width(0.5)
 
     def both_dirs(b: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
@@ -464,7 +478,7 @@ def connected_components_min_label(edges: rd.Dataset, max_iters: int = 30,
 def attach_component_labels(ids: rd.Dataset, labels: rd.Dataset,
                             id_col: str = "doc_id",
                             out_col: str = "cluster_id",
-                            num_partitions: int = 16,
+                            num_partitions: int | None = None,
                             broadcast_threshold: int = 2_000_000) -> rd.Dataset:
     """Attach component labels back onto the full id column; ids
     without an edge keep themselves as label.
@@ -511,7 +525,8 @@ def attach_component_labels(ids: rd.Dataset, labels: rd.Dataset,
     from .join import sized_join
 
     out = sized_join(ids, labels, "left_outer", on=(id_col,),
-                     right_on=("node",), requested_partitions=num_partitions)
+                     right_on=("node",),
+                     requested_partitions=num_partitions or _shuffle_width(0.5))
 
     def fill(t):
         # pyarrow coalesce: null labels (no edge) fall back to the id
