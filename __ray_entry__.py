@@ -1011,6 +1011,21 @@ def _q_knn_ivf(sf_dir: str):
     return hits
 
 
+def _q_reservoir_sample(sf_dir: str):
+    """EXACTLY-50 weight-proportional sample (Efraimidis-Spirakis via
+    deterministic hash-derived u, ops/sample.weighted_reservoir_sample):
+    per-batch partial top-k -> tiny global merge, no shuffle.  The
+    score is rounded to int64 at 1e9 with a key tie-break so the
+    numpy and DuckDB power() selections agree bit-for-bit."""
+    from agentic_rag_for_multi_model_pdf_extraction_ray.ops.sample import (
+        weighted_reservoir_sample,
+    )
+    from agentic_rag_for_multi_model_pdf_extraction_ray.sources.corpus import read_table
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    return weighted_reservoir_sample(docs, "doc_id", "n_chars", k=50)
+
+
 def _q_running_total(sf_dir: str):
     """Running total of event value in global event order — the
     distributed two-level prefix scan (ops/scan.prefix_scan: fixed-
@@ -1245,6 +1260,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_knn_store": _q_knn_store,
         "q_bm25": _q_bm25,
         "q_running_total": _q_running_total,
+        "q_reservoir_sample": _q_reservoir_sample,
         "q_knn_store_full": _q_knn_store_full,
         "q_knn_ivf": _q_knn_ivf,
         "q_knn_ivf_full": _q_knn_ivf_full,
@@ -1445,6 +1461,14 @@ def oracle_sql() -> dict[str, str]:
                          * 1000000 + 0.5) / 1000000 AS score
             FROM embeddings WHERE vec_id != 0
             ORDER BY score DESC, vec_id LIMIT 10
+        """,
+        "q_reservoir_sample": """
+            SELECT doc_id, n_chars FROM (
+              SELECT doc_id, n_chars,
+                     CAST(floor(power((('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 1000000)
+                                      / 1000000.0, 1.0 / n_chars) * 1000000000) AS BIGINT) AS rk
+              FROM documents WHERE n_chars > 0)
+            ORDER BY rk DESC, doc_id LIMIT 50
         """,
         "q_running_total": """
             SELECT event_id,

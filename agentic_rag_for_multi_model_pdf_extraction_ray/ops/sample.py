@@ -233,3 +233,38 @@ def top_tokens(ds: rd.Dataset, text_col: str, k: int = 20) -> pd.DataFrame:
     )
     out = totals.sort_values(["n", "token"], ascending=[False, True]).head(k)
     return out.reset_index(drop=True)
+
+
+def weighted_reservoir_sample(ds: rd.Dataset, key_col: str, weight_col: str,
+                              k: int) -> rd.Dataset:
+    """EXACTLY-k weight-proportional sample (Efraimidis–Spirakis A-ES):
+    each row draws ``u = hash_frac(key)`` and scores ``u^(1/w)``; the
+    global top-k scores are the sample.  Deterministic (hash-derived
+    u), exact size (unlike :func:`weighted_bernoulli_sample`'s
+    expected-size threshold), and distributed as per-batch partial
+    top-k → one tiny global merge — no shuffle.
+
+    Cross-engine exactness: the score is ROUNDED to int64 at 1e9 and
+    ties break on the key, so a last-ulp ``pow`` difference between
+    numpy and the SQL oracle cannot flip the selection:
+    ``ORDER BY CAST(floor(power(u, 1.0/w) * 1e9) AS BIGINT) DESC, key
+    LIMIT k``.  Rows with non-positive weight are excluded."""
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        w = np.asarray(batch[weight_col].to_numpy(), dtype=np.float64)
+        keep = w > 0
+        sub = batch[keep]
+        if not len(sub):
+            return sub.assign(__rk=pd.Series(dtype="int64"))
+        u = _hash_frac(sub[key_col]).to_numpy()
+        score = np.floor(np.power(u, 1.0 / w[keep]) * 1e9).astype(np.int64)
+        out = sub.assign(__rk=score)
+        return out.sort_values(["__rk", key_col],
+                               ascending=[False, True]).head(k)
+
+    partials = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    if not len(partials):
+        return rd.from_pandas(partials)
+    top = (partials.sort_values(["__rk", key_col], ascending=[False, True])
+           .head(k).drop(columns=["__rk"]).reset_index(drop=True))
+    return rd.from_pandas(top)

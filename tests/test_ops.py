@@ -300,3 +300,21 @@ def test_hash_tokens_deterministic_across_processes():
     out = subprocess.run([sys.executable, "-c", code], capture_output=True,
                          text=True, check=True).stdout.strip()
     assert out == str(here)
+
+
+def test_weighted_reservoir_exact_k_and_bias():
+    from agentic_rag_for_multi_model_pdf_extraction_ray.ops.sample import (
+        weighted_reservoir_sample,
+    )
+
+    rows = [{"doc_id": i, "w": (1000 if i < 10 else 1)} for i in range(200)]
+    ds = rd.from_pandas(pd.DataFrame(rows)).repartition(4)
+    out = weighted_reservoir_sample(ds, "doc_id", "w", k=20).to_pandas()
+    assert len(out) == 20
+    # heavy rows (1000x weight) should dominate the sample
+    assert sum(1 for d in out["doc_id"] if d < 10) >= 8
+    # zero/negative weights excluded; k > population degrades gracefully
+    small = weighted_reservoir_sample(
+        rd.from_pandas(pd.DataFrame({"doc_id": [1, 2], "w": [0, 5]})),
+        "doc_id", "w", k=10).to_pandas()
+    assert small["doc_id"].tolist() == [2]
