@@ -21,12 +21,18 @@ def partial_groupby_sum_count(
     keys: list[str],
     sum_cols: dict[str, str],
     count_alias: str = "n",
+    batch_size: int | None = None,
 ) -> rd.Dataset:
     """groupby(keys) with Sum over ``sum_cols`` ({src_col: out_name})
     and a row count — pre-aggregated per batch, then merged globally.
 
     Returns one row per key combination with the requested output
-    column names (sums exact; count exact).
+    column names (sums exact; count exact).  ``batch_size=None``
+    (default) combines WHOLE BLOCKS: the win is #rows → #keys×#blocks,
+    and small fixed batches would emit ~min(batch, #keys) rows each —
+    no reduction at all, just overhead (measured: 1024-row batches
+    made a 3,600-group combine slower than the direct groupby; forced
+    65k batches paid more in rebatching).
     """
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
@@ -36,7 +42,8 @@ def partial_groupby_sum_count(
         )
         return g
 
-    partials = ds.map_batches(partial, batch_format="pandas")
+    partials = ds.map_batches(partial, batch_format="pandas",
+                              batch_size=batch_size)
     aggs = [Sum(out, alias_name=out) for out in sum_cols.values()]
     aggs.append(Sum("__pc", alias_name=count_alias))
     return partials.groupby(keys).aggregate(*aggs)
