@@ -58,7 +58,8 @@ def exact_dedup_keys(ds: rd.Dataset, id_col: str = "doc_id", text_col: str = "te
             t = t.fillna("").str.lower().str.strip().str.replace(r"\s+", " ", regex=True)
         return pd.DataFrame({"fp": fingerprint_batch(t), id_col: batch[id_col]})
 
-    return ds.map_batches(add_fp, batch_format="pandas").groupby("fp").aggregate(
+    return ds.map_batches(add_fp, batch_format="pandas",
+                          batch_size=None).groupby("fp").aggregate(
         Min(id_col, alias_name=id_col)
     )
 
@@ -86,7 +87,7 @@ def exact_dedup(ds: rd.Dataset, id_col: str = "doc_id", text_col: str = "text",
                 .drop_duplicates("fp").drop(columns=["__bk"]))
 
     return (
-        ds.map_batches(add_fp, batch_format="pandas")
+        ds.map_batches(add_fp, batch_format="pandas", batch_size=None)
         .groupby("__bk")
         .map_groups(first, batch_format="pandas")
     )
@@ -171,7 +172,7 @@ def distinct_column(ds: rd.Dataset, col: str, n_buckets: int = 1024) -> rd.Datas
         return g.drop_duplicates(col)[[col]]
 
     return (
-        ds.map_batches(local, batch_format="pandas")
+        ds.map_batches(local, batch_format="pandas", batch_size=None)
         .groupby("bk")
         .map_groups(dd, batch_format="pandas")
         .repartition(_shuffle_width(0.5))
@@ -199,8 +200,9 @@ def _set_op_keys(a: rd.Dataset, b: rd.Dataset, col_a: str, col_b: str,
 
         return f
 
-    rows = a.map_batches(tag(0, col_a), batch_format="pandas").union(
-        b.map_batches(tag(1, col_b), batch_format="pandas"))
+    rows = a.map_batches(tag(0, col_a), batch_format="pandas",
+                         batch_size=None).union(
+        b.map_batches(tag(1, col_b), batch_format="pandas", batch_size=None))
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         in_a = set(g.loc[g["side"] == 0, "v"])

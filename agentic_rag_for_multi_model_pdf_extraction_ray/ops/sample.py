@@ -71,7 +71,8 @@ def stratified_head(ds: rd.Dataset, group_col: str, order_col, n: int,
         g = g.sort_values(order_cols, ascending=ascending, kind="mergesort")
         return g.groupby(group_col, sort=False).head(n).drop(columns="__bk")
 
-    return (ds.map_batches(local_prune, batch_format="pandas")
+    return (ds.map_batches(local_prune, batch_format="pandas",
+                           batch_size=None)
             .groupby("__bk")
             .map_groups(per_bucket, batch_format="pandas"))
 
@@ -164,7 +165,7 @@ def grouped_median_histogram(ds: rd.Dataset, group_col: str, value_col: str,
         return pd.DataFrame({group_col: [group[group_col].iloc[0]], alias: [m]})
 
     return (
-        ds.map_batches(partial_hist, batch_format="pandas")
+        ds.map_batches(partial_hist, batch_format="pandas", batch_size=None)
         .groupby(group_col)
         .map_groups(merge_median, batch_format="pandas")
     )
@@ -205,7 +206,7 @@ def grouped_quantiles_histogram(ds: rd.Dataset, group_col: str, value_col: str,
         return pd.DataFrame(out)
 
     return (
-        ds.map_batches(partial_hist, batch_format="pandas")
+        ds.map_batches(partial_hist, batch_format="pandas", batch_size=None)
         .groupby(group_col)
         .map_groups(merge_q, batch_format="pandas")
     )
@@ -226,7 +227,7 @@ def top_tokens(ds: rd.Dataset, text_col: str, k: int = 20) -> pd.DataFrame:
         return pd.DataFrame({"token": counts.index, "n": counts.to_numpy()})
 
     totals = (
-        ds.map_batches(partial, batch_format="pandas")
+        ds.map_batches(partial, batch_format="pandas", batch_size=None)
         .groupby("token")
         .aggregate(Sum("n", alias_name="n"))
         .to_pandas()

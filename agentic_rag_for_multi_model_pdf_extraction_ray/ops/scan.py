@@ -75,7 +75,8 @@ def prefix_scan(ds: rd.Dataset, order_col: str, value_col: str,
             rows["p"].append(v[ii].sum() if op == "sum" else v[ii].max())
         return pd.DataFrame(rows)
 
-    part = bucketed.map_batches(partials, batch_format="pandas").to_pandas()
+    part = bucketed.map_batches(partials, batch_format="pandas",
+                                batch_size=None).to_pandas()
     part = part.groupby("__bk")["p"].agg("sum" if op == "sum" else "max")
     part = part.sort_index()
     if op == "sum":

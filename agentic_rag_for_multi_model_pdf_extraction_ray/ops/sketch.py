@@ -98,7 +98,8 @@ def approx_distinct(ds: rd.Dataset, col: str, p: int = 12) -> float:
         h.add(batch[col].to_numpy())
         return pd.DataFrame({"sketch": [h.to_bytes()]})
 
-    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    parts = ds.map_batches(partial, batch_format="pandas",
+                           batch_size=None).to_pandas()
     merged = HyperLogLog(p)
     for b in parts["sketch"]:
         merged.merge(HyperLogLog.from_bytes(b, p))
@@ -123,7 +124,8 @@ def exact_distinct(ds: rd.Dataset, col: str, n_buckets: int = 1024) -> int:
         return pd.DataFrame({"n": [g[col].nunique()]})
 
     parts = (
-        ds.map_batches(local_unique, batch_format="pandas")
+        ds.map_batches(local_unique, batch_format="pandas",
+                       batch_size=None)
         .groupby("bk")
         .map_groups(bucket_count, batch_format="pandas")
         .to_pandas()

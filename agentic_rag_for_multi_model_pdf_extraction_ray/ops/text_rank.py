@@ -70,7 +70,8 @@ def bm25_score(docs: rd.Dataset, query: str, k: int = 20,
                for j in range(len(terms))},
         })
 
-    stats = docs.map_batches(partial_stats, batch_format="pandas").to_pandas()
+    stats = docs.map_batches(partial_stats, batch_format="pandas",
+                             batch_size=None).to_pandas()
     n_docs = int(stats["n"].sum())
     if n_docs == 0:
         return pd.DataFrame({id_col: pd.Series(dtype=object),
