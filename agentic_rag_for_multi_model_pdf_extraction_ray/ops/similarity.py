@@ -332,9 +332,13 @@ def build_ivf_index_store(ds: rd.Dataset, index_dir: str, n_centroids: int = 64,
 
 
 def query_ivf_index(index_dir: str, query_vec: np.ndarray, k: int = 10,
-                    nprobe: int = 4, exclude_ids: set | None = None):
+                    nprobe: int = 4, exclude_ids: set | None = None,
+                    filter_fn=None):
     """Top-k against a persisted IVF index: scan only the ``nprobe``
-    nearest centroids' partitions.  Returns (hits, stats)."""
+    nearest centroids' partitions.  Returns (hits, stats).
+    ``filter_fn`` (pandas batch → batch) pre-filters candidates, e.g.
+    a ``kind`` metadata filter — same contract as
+    :func:`query_lsh_index`."""
     import json
     import os
 
@@ -351,10 +355,12 @@ def query_ivf_index(index_dir: str, query_vec: np.ndarray, k: int = 10,
         if os.path.isfile(path):
             files.append(path)
     stats = {"buckets_total": len(C), "buckets_probed": len(probe),
-             "files_read": len(files)}
+             "files_read": len(files), "paths": files}
     if not files:
         return pd.DataFrame({meta["id_col"]: [], "score": []}), stats
     cand = rd.read_parquet(files)
+    if filter_fn is not None:
+        cand = cand.map_batches(filter_fn, batch_format="pandas")
     hits = knn_bruteforce(cand, query_vec, k, meta["id_col"], meta["vec_col"],
                           exclude_ids=exclude_ids)
     return hits, stats

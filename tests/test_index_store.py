@@ -166,3 +166,27 @@ def test_zero_span_docs_have_lineage(tmp_path):
         metrics = json.load(f)
     assert metrics["num_docs_empty"] == 1
     assert metrics["num_docs"] == 2
+
+
+def test_ivf_query_filter_fn(tmp_path):
+    # filter_fn parity with the LSH index query (kind-style metadata
+    # filter applied to probed candidates only)
+    import numpy as np
+
+    from agentic_rag_for_multi_model_pdf_extraction_ray.ops.similarity import (
+        build_ivf_index_store,
+        query_ivf_index,
+    )
+
+    rng = np.random.RandomState(2)
+    rows = [{"vec_id": i, "embedding": rng.normal(size=16).tolist(),
+             "kind": "figure" if i % 3 == 0 else "text"} for i in range(60)]
+    ds = rd.from_pandas(pd.DataFrame(rows)).repartition(3)
+    idx = str(tmp_path / "ivf")
+    build_ivf_index_store(ds, idx, n_centroids=4)
+    q = np.asarray(rows[5]["embedding"])
+    hits, stats = query_ivf_index(idx, q, k=5, nprobe=4,
+                                  filter_fn=lambda b: b[b["kind"] == "figure"])
+    assert len(hits) == 5
+    assert all(int(v) % 3 == 0 for v in hits["vec_id"])
+    assert stats["files_read"] >= 1 and stats["paths"]
