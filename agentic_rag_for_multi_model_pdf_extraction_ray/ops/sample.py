@@ -13,7 +13,8 @@ has a DuckDB oracle):
   (groups fit in memory by assumption; no sums → no float-order
   issues).
 * :func:`top_tokens` — corpus heavy hitters: per-batch token counts
-  (pre-aggregation) → global merge → top-k with deterministic
+  (pre-aggregation) → bounded hash-bucketed reduce with per-bucket
+  top-k → driver merges ≤ buckets×k rows, with deterministic
   tie-break (count desc, token asc).
 """
 
@@ -24,7 +25,7 @@ import hashlib
 import numpy as np
 import pandas as pd
 import ray.data as rd
-from ray.data.aggregate import Sum
+
 
 _MOD = 1_000_000
 
@@ -212,28 +213,59 @@ def grouped_quantiles_histogram(ds: rd.Dataset, group_col: str, value_col: str,
     )
 
 
-def top_tokens(ds: rd.Dataset, text_col: str, k: int = 20) -> pd.DataFrame:
+def top_tokens(ds: rd.Dataset, text_col: str, k: int = 20,
+               n_buckets: int = 256) -> pd.DataFrame:
     """Top-k whitespace tokens by total count across the corpus.
 
     Shape: per-batch explode + LOCAL count (the combiner — the shuffle
     moves one row per distinct token per batch, never per occurrence)
-    → global groupby sum → driver-side top-k (k rows).
-    """
+    → hash-bucketed groupby (``n_buckets`` reduce groups, NOT one per
+    distinct token) → per-bucket vectorized sum + top-k inside
+    ``map_groups`` → driver merges at most ``n_buckets × k`` rows.
+
+    A token hashes to exactly one bucket, so each bucket's top-k is
+    computed over that token's complete global count and the union of
+    per-bucket top-k's contains the global top-k.  The previous shape
+    (``groupby("token")`` then ``to_pandas()``) pulled EVERY distinct
+    token's total to the driver — billions of rows on a web corpus.
+    ``n_buckets`` trades per-group map_groups overhead (~5 ms/group
+    locally) against per-bucket memory (distinct_tokens / n_buckets
+    rows per group at the reduce); 256 keeps both comfortable from sf
+    test sizes up to ~10^9-token vocabularies."""
+    parts = top_tokens_parts(ds, text_col, k, n_buckets).to_pandas()
+    out = parts.sort_values(["n", "token"], ascending=[False, True]).head(k)
+    return out[["token", "n"]].reset_index(drop=True)
+
+
+def top_tokens_parts(ds: rd.Dataset, text_col: str, k: int,
+                     n_buckets: int) -> rd.Dataset:
+    """The distributed part of :func:`top_tokens`: per-bucket top-k
+    candidate rows (``token``, ``n``, ``bk``), at most ``n_buckets × k``
+    of them — the only rows that ever reach the driver."""
+    from ..functions.hashing import hash_tokens
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         toks = batch[text_col].fillna("").str.split()
         exploded = toks.explode().dropna()
         counts = exploded.value_counts()
-        return pd.DataFrame({"token": counts.index, "n": counts.to_numpy()})
+        tok = counts.index.to_numpy()
+        bk = hash_tokens(tok) % np.uint64(n_buckets)
+        return pd.DataFrame(
+            {"token": tok, "n": counts.to_numpy(), "bk": bk.astype(np.int64)}
+        )
 
-    totals = (
+    def bucket_topk(g: pd.DataFrame) -> pd.DataFrame:
+        totals = g.groupby("token", sort=False)["n"].sum().reset_index()
+        totals["bk"] = g["bk"].iloc[0]
+        return totals.sort_values(
+            ["n", "token"], ascending=[False, True]
+        ).head(k)
+
+    return (
         ds.map_batches(partial, batch_format="pandas", batch_size=None)
-        .groupby("token")
-        .aggregate(Sum("n", alias_name="n"))
-        .to_pandas()
+        .groupby("bk")
+        .map_groups(bucket_topk, batch_format="pandas")
     )
-    out = totals.sort_values(["n", "token"], ascending=[False, True]).head(k)
-    return out.reset_index(drop=True)
 
 
 def weighted_reservoir_sample(ds: rd.Dataset, key_col: str, weight_col: str,

@@ -318,3 +318,36 @@ def test_weighted_reservoir_exact_k_and_bias():
         rd.from_pandas(pd.DataFrame({"doc_id": [1, 2], "w": [0, 5]})),
         "doc_id", "w", k=10).to_pandas()
     assert small["doc_id"].tolist() == [2]
+
+
+def test_top_tokens_bounded_driver_frame():
+    """top_tokens must ship ≤ n_buckets×k candidate rows to the driver
+    (never the full vocabulary) and still return the exact global
+    top-k with the (count desc, token asc) tie-break."""
+    from agentic_rag_for_multi_model_pdf_extraction_ray.ops.sample import (
+        top_tokens,
+        top_tokens_parts,
+    )
+
+    rng = np.random.default_rng(7)
+    vocab = [f"tok{i:04d}" for i in range(500)]
+    texts = [
+        " ".join(rng.choice(vocab, size=30, p=None)) for _ in range(400)
+    ]
+    df = pd.DataFrame({"text": texts})
+    ds = rd.from_pandas(df).repartition(4)
+
+    k, n_buckets = 5, 8
+    parts = top_tokens_parts(ds, "text", k, n_buckets).to_pandas()
+    assert len(parts) <= n_buckets * k  # the ONLY rows the driver sees
+
+    out = top_tokens(ds, "text", k=k, n_buckets=n_buckets)
+    brute = (
+        df["text"].str.split().explode().value_counts().reset_index()
+    )
+    brute.columns = ["token", "n"]
+    brute = brute.sort_values(
+        ["n", "token"], ascending=[False, True]
+    ).head(k).reset_index(drop=True)
+    assert out["token"].tolist() == brute["token"].tolist()
+    assert out["n"].tolist() == brute["n"].tolist()
