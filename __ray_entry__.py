@@ -350,13 +350,14 @@ def _q_sessionize(sf_dir: str):
 
 
 def _q_distinct_users(sf_dir: str):
-    from ray.data.aggregate import Count
-
+    from agentic_rag_for_multi_model_pdf_extraction_ray.ops.sketch import grouped_exact_distinct
     from agentic_rag_for_multi_model_pdf_extraction_ray.sources.corpus import read_table
 
     ev = read_table(sf_dir, "events", columns=["event_type", "user_id"])
-    pairs = ev.groupby(["event_type", "user_id"]).aggregate(Count(alias_name="_c"))
-    return pairs.groupby("event_type").aggregate(Count(alias_name="n_users"))
+    # bounded-bucket grouped distinct: a groupby([event_type, user_id])
+    # would make one reduce group per PAIR (the 218k-group trap)
+    return grouped_exact_distinct(ev, "event_type", "user_id",
+                                  alias="n_users")
 
 
 def _q_dedup_exact(sf_dir: str):

@@ -106,6 +106,65 @@ def approx_distinct(ds: rd.Dataset, col: str, p: int = 12) -> float:
     return merged.estimate()
 
 
+def _bucket_hash(values: np.ndarray, n_buckets: int) -> np.ndarray:
+    """Vectorized bucket assignment for any value dtype (int64 via the
+    splitmix64 mixer, everything else via the engine token-hash).
+    Only partitioning matters here — the bucket function never leaks
+    into results, so it is free to differ from persisted-hash
+    contracts."""
+    if np.issubdtype(values.dtype, np.integer):
+        h = _mix64(values.astype(np.int64).view(np.uint64))
+    else:
+        from ..functions.hashing import hash_tokens
+
+        h = hash_tokens(values)
+    return (h % np.uint64(n_buckets)).astype(np.int64)
+
+
+def grouped_exact_distinct(ds: rd.Dataset, group_col: str, value_col: str,
+                           alias: str = "n_distinct",
+                           n_buckets: int | None = None) -> rd.Dataset:
+    """Exact COUNT(DISTINCT value) PER GROUP, with a bounded reduce.
+
+    ``groupby([group, value])`` would create one reduce group per
+    distinct (group, value) PAIR — the 218k-group trap (Ray's sort
+    shuffle cost scales with group count).  Instead: per-batch local
+    pair-dedup (combiner) → hash-bucket the VALUE into ``n_buckets``
+    reduce groups (cluster-derived by default) → per-bucket vectorized
+    ``groupby(group).nunique()`` → small final sum over
+    ≤ ``n_buckets × n_groups`` partial rows.  Buckets partition the
+    value space, so each (group, value) pair is counted in exactly one
+    bucket and the per-group sums are exact.
+
+    Measured trade (sf0.1 events, 100k rows / 7.5k pairs, 32 CPUs):
+    the raw pair-groupby runs 4.2–4.8 s, this shape 5.7–6.3 s — the
+    ~1.5 s is fixed per-stage overhead, NOT data volume; at the 218k+
+    pair cardinalities where the raw shape collapses (31 s measured),
+    the bounded reduce is the only shape that survives."""
+    from ray.data.aggregate import Sum
+
+    from .dedup import _shuffle_width
+
+    if n_buckets is None:
+        n_buckets = _shuffle_width(2.0, floor=16)
+
+    def local_pairs(batch: pd.DataFrame) -> pd.DataFrame:
+        u = batch[[group_col, value_col]].drop_duplicates()
+        bk = _bucket_hash(u[value_col].to_numpy(), n_buckets)
+        return u.assign(bk=bk)
+
+    def bucket_counts(g: pd.DataFrame) -> pd.DataFrame:
+        n = g.groupby(group_col, sort=False)[value_col].nunique()
+        return pd.DataFrame({group_col: n.index, alias: n.to_numpy()})
+
+    partials = (
+        ds.map_batches(local_pairs, batch_format="pandas", batch_size=None)
+        .groupby("bk")
+        .map_groups(bucket_counts, batch_format="pandas")
+    )
+    return partials.groupby(group_col).aggregate(Sum(alias, alias_name=alias))
+
+
 def exact_distinct(ds: rd.Dataset, col: str, n_buckets: int = 1024) -> int:
     """Exact COUNT(DISTINCT col), distributed and bounded.
 

@@ -351,3 +351,32 @@ def test_top_tokens_bounded_driver_frame():
     ).head(k).reset_index(drop=True)
     assert out["token"].tolist() == brute["token"].tolist()
     assert out["n"].tolist() == brute["n"].tolist()
+
+
+def test_grouped_exact_distinct_bounded_and_exact():
+    """grouped_exact_distinct must match a brute-force per-group
+    nunique for both int and string value columns, without ever
+    creating a reduce group per (group, value) pair."""
+    from agentic_rag_for_multi_model_pdf_extraction_ray.ops.sketch import (
+        grouped_exact_distinct,
+    )
+
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame({
+        "g": rng.choice(["a", "b", "c"], size=5000),
+        "v_int": rng.integers(0, 700, size=5000),
+    })
+    df["v_str"] = "u" + df["v_int"].astype(str)
+    ds = rd.from_pandas(df).repartition(6)
+
+    for col in ("v_int", "v_str"):
+        got = (
+            grouped_exact_distinct(ds, "g", col, alias="n", n_buckets=32)
+            .to_pandas().sort_values("g").reset_index(drop=True)
+        )
+        want = (
+            df.groupby("g")[col].nunique().reset_index(name="n")
+            .sort_values("g").reset_index(drop=True)
+        )
+        assert got["g"].tolist() == want["g"].tolist()
+        assert got["n"].tolist() == want["n"].tolist()
