@@ -68,19 +68,23 @@ def _mix64(h: np.ndarray) -> np.ndarray:
     return h
 
 
-def char_shingles(text: str, k: int = 5) -> set[int]:
-    """Set of 64-bit hashes of the k-byte shingles of normalized text.
+def char_shingles(text: str, k: int = 5) -> np.ndarray:
+    """UNIQUE 64-bit hashes of the k-byte shingles of normalized text,
+    as a sorted uint64 array.
 
     Vectorized: one numpy rolling polynomial hash + splitmix64 mix per
     document (no per-shingle digest calls) — deterministic across
-    workers/processes.
+    workers/processes.  Returns ``np.unique(h)`` directly: the old
+    ``set(h.tolist())`` round-trip (and the ``np.fromiter`` re-pack in
+    the signature stage) was pure Python overhead in the #1 bench
+    pipeline; the hash VALUES are unchanged.
     """
     t = " ".join(text.split()).lower()
     if not t:
-        return set()
+        return np.empty(0, dtype=np.uint64)
     b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
     if len(b) < k:
-        return {stable_hash64(t)}
+        return np.array([stable_hash64(t)], dtype=np.uint64)
     with np.errstate(over="ignore"):
         weights = np.empty(k, dtype=np.uint64)
         weights[0] = 1
@@ -88,7 +92,7 @@ def char_shingles(text: str, k: int = 5) -> set[int]:
             weights[i] = weights[i - 1] * _SHINGLE_BASE  # wraps mod 2^64
         windows = np.lib.stride_tricks.sliding_window_view(b, k)
         h = _mix64((windows * weights[None, ::-1]).sum(axis=1, dtype=np.uint64))
-    return set(h.tolist())
+    return np.unique(h)
 
 
 def word_ngrams(text: str, n: int = 3) -> set[str]:
@@ -126,10 +130,15 @@ class MinHasher:
             v ^= v >> np.uint64(32)
         return v
 
-    def signature(self, shingle_hashes: set[int]) -> np.ndarray:
-        if not shingle_hashes:
+    def signature(self, shingle_hashes) -> np.ndarray:
+        """Signature of one doc's shingle hashes (uint64 array or any
+        iterable of ints)."""
+        if isinstance(shingle_hashes, np.ndarray):
+            x = shingle_hashes.astype(np.uint64, copy=False)
+        else:
+            x = np.fromiter(shingle_hashes, dtype=np.uint64)
+        if not len(x):
             return np.zeros(self.num_perm, dtype=np.uint64)
-        x = np.fromiter(shingle_hashes, dtype=np.uint64)
         return self._hash_matrix(x).min(axis=1)
 
     def signatures_concat(self, all_hashes: np.ndarray, starts: np.ndarray) -> np.ndarray:
@@ -194,7 +203,17 @@ def hamming64(a: int, b: int) -> int:
     return bin(a ^ b).count("1")
 
 
-def jaccard(a: set, b: set) -> float:
+def jaccard(a, b) -> float:
+    """Jaccard similarity of two collections of unique hashables
+    (sets, or the unique uint64 arrays :func:`char_shingles` returns)."""
+    if isinstance(a, np.ndarray) or isinstance(b, np.ndarray):
+        a, b = np.asarray(a), np.asarray(b)
+        if not len(a) and not len(b):
+            return 1.0
+        if not len(a) or not len(b):
+            return 0.0
+        inter = len(np.intersect1d(a, b, assume_unique=True))
+        return inter / (len(a) + len(b) - inter)
     if not a and not b:
         return 1.0
     if not a or not b:

@@ -566,8 +566,9 @@ class SignatureStage:
         # giant matrix); identical output to per-doc mh.signature
         per_doc, keep = [], []
         for i, t in zip(batch[self.id_col], batch[self.text_col]):
-            a = np.fromiter(char_shingles(t or "", self.shingle_k),
-                            dtype=np.uint64)
+            # char_shingles returns the unique uint64 array directly —
+            # no set→fromiter re-pack (round-4 hot-path fix)
+            a = char_shingles(t or "", self.shingle_k)
             if len(a):
                 keep.append(i)
                 per_doc.append(a)
