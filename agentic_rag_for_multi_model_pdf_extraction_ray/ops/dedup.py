@@ -123,6 +123,34 @@ def _id_hash(values) -> np.ndarray:
     return hash_array(arr)
 
 
+def _binary_blob_views(col, n: int):
+    """Zero-copy views of a non-null Arrow binary column: returns
+    ``(values, offsets)`` where ``values`` is the concatenated payload
+    bytes as a uint64 array and ``offsets`` the per-row BYTE offsets
+    (length n+1, starting at 0).  Replaces the old
+    ``b"".join(col.to_pylist())`` hop — the Arrow data buffer already
+    IS the concatenation; we only slice and reinterpret it.  Falls
+    back to the Python path for exotic column types or nulls."""
+    import pyarrow as pa
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if (pa.types.is_binary(col.type) or pa.types.is_large_binary(col.type)) \
+            and col.null_count == 0:
+        off_dt = np.int64 if pa.types.is_large_binary(col.type) else np.int32
+        offs = np.frombuffer(col.buffers()[1], dtype=off_dt)[
+            col.offset: col.offset + n + 1].astype(np.int64)
+        data = np.frombuffer(col.buffers()[2], dtype=np.uint8)
+        vals = data[offs[0]: offs[-1]]
+        return vals.view(np.uint64), offs - offs[0]
+    blobs = col.to_pylist()
+    lens = np.fromiter(map(len, blobs), dtype=np.int64, count=len(blobs))
+    offs = np.concatenate([[0], np.cumsum(lens)])
+    joined = np.frombuffer(b"".join(blobs), dtype=np.uint64) if blobs \
+        else np.empty(0, dtype=np.uint64)
+    return joined, offs
+
+
 def _distinct_pairs(cand: rd.Dataset, extra_cols: tuple = (),
                     n_buckets: int = 256) -> rd.Dataset:
     """Exact distributed DISTINCT over (a, b) pair rows (extra columns
@@ -636,11 +664,10 @@ def minhash_candidates(sig_ds: rd.Dataset, num_perm: int = 64, num_bands: int = 
 
         n = batch.num_rows
         if n:
-            # one frombuffer over the joined blobs (sigs are fixed
-            # num_perm×8 bytes) — no per-row frombuffer calls
-            sigs = np.frombuffer(
-                b"".join(batch.column("sig").to_pylist()), dtype=np.uint64
-            ).reshape(n, num_perm)
+            # sigs are fixed num_perm×8 bytes — the Arrow data buffer
+            # is already their concatenation; reshape a zero-copy view
+            vals, _ = _binary_blob_views(batch.column("sig"), n)
+            sigs = vals.reshape(n, num_perm)
             keys = mh.band_keys_matrix(sigs, num_bands)
         else:
             keys = np.zeros((0, num_bands), dtype=np.uint64)
@@ -973,15 +1000,15 @@ def ngram_jaccard_pair_ds(ds: rd.Dataset, n: int = 3, threshold: float = 0.5,
     def explode(batch: "pa.Table") -> "pa.Table":
         import pyarrow as pa
 
-        blobs = batch.column("grams").to_pylist()
-        if not blobs:
+        n = batch.num_rows
+        if not n:
             return pa.table({"doc_id": batch.column("doc_id"),
                              "gram": pa.array([], type=pa.int64()),
                              "gk": pa.array([], type=pa.int64())})
-        counts = np.fromiter(map(len, blobs), dtype=np.int64,
-                             count=len(blobs)) // 8
-        g = np.frombuffer(b"".join(blobs), dtype=np.uint64).view(np.int64)
-        idx = pa.array(np.repeat(np.arange(len(blobs), dtype=np.int64), counts))
+        vals, offs = _binary_blob_views(batch.column("grams"), n)
+        counts = np.diff(offs) // 8
+        g = vals.view(np.int64)
+        idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), counts))
         return pa.table({"doc_id": batch.column("doc_id").take(idx),
                          "gram": pa.array(g),
                          "gk": pa.array(g % n_super_buckets)})
