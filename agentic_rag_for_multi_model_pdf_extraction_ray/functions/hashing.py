@@ -30,22 +30,41 @@ def stable_bucket(s: str, n_buckets: int) -> int:
     return stable_hash64(s) % n_buckets
 
 
+# The engine token-hash key, pinned EXPLICITLY (pandas' documented
+# 16-byte default).  Relying on the library default would silently
+# shift every persisted signature if a pandas upgrade or a
+# mixed-version cluster changed it; passing it makes the contract
+# ours.  TOKEN_HASH_SENTINEL is hash_tokens(["a"])[0] under this key —
+# persisted store/index manifests record it and verify at read time.
+TOKEN_HASH_KEY = "0123456789123456"
+TOKEN_HASH_SENTINEL = 13950350942979735504
+
+
 def hash_tokens(tokens) -> np.ndarray:
     """Vectorized 64-bit hashes of a sequence of token strings.
 
-    pandas' C siphash over the object array (fixed library-default
-    key — deterministic across processes and workers, measured ~4×
-    faster than per-token blake2b and free of per-call Python
-    overhead).  This IS the engine's token-hash contract for the
-    hashing embedder, SimHash and word-n-gram kernels (round 3
-    switched them from per-token ``stable_hash64``; embeddings /
-    signatures changed once, expectations regenerated with it).
+    pandas' C siphash over the object array with the EXPLICIT
+    :data:`TOKEN_HASH_KEY` (deterministic across processes, workers
+    and pandas versions; measured ~4× faster than per-token blake2b
+    and free of per-call Python overhead).  This IS the engine's
+    token-hash contract for the hashing embedder, SimHash and
+    word-n-gram kernels (round 3 switched them from per-token
+    ``stable_hash64``; embeddings / signatures changed once,
+    expectations regenerated with it).
     """
     if len(tokens) == 0:
         return np.empty(0, dtype=np.uint64)
     from pandas.util import hash_array
 
-    return hash_array(np.asarray(tokens, dtype=object), categorize=False)
+    return hash_array(np.asarray(tokens, dtype=object), categorize=False,
+                      hash_key=TOKEN_HASH_KEY)
+
+
+def token_hash_fingerprint() -> int:
+    """The sentinel value persisted alongside stores/indexes so a
+    reader on a different installation detects token-hash drift
+    instead of silently mis-bucketing queries."""
+    return int(hash_tokens(["a"])[0])
 
 
 def md5_hex_batch(texts) -> np.ndarray:

@@ -988,7 +988,8 @@ def ngram_jaccard_pair_ds(ds: rd.Dataset, n: int = 3, threshold: float = 0.5,
     gram blobs through the verify joins (measured ~4× the count-based
     wall at sf0.1).  Use it when exact scores matter more than
     throughput; the collected :func:`ngram_jaccard_pairs` wrapper
-    defaults to it."""
+    keeps the count-based default (pass ``exact_verify=True`` there
+    to opt in)."""
     import warnings
 
     feats = ngram_feature_table(ds, n, id_col, text_col)

@@ -297,7 +297,10 @@ def weighted_reservoir_sample(ds: rd.Dataset, key_col: str, weight_col: str,
 
     partials = ds.map_batches(partial, batch_format="pandas").to_pandas()
     if not len(partials):
-        return rd.from_pandas(partials)
+        # keep the output schema input-independent: the internal score
+        # column must not leak on the empty/all-filtered path either
+        return rd.from_pandas(
+            partials.drop(columns=["__rk"], errors="ignore"))
     top = (partials.sort_values(["__rk", key_col], ascending=[False, True])
            .head(k).drop(columns=["__rk"]).reset_index(drop=True))
     return rd.from_pandas(top)

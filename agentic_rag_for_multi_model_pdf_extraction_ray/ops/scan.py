@@ -99,6 +99,11 @@ def prefix_scan(ds: rd.Dataset, order_col: str, value_col: str,
             prev = offs.get(bk, None)
             if prev is not None and not pd.isna(prev):
                 run = np.maximum(run, prev)
+            if scale is not None:
+                # undo the fixed-point scaling, same as the sum branch
+                # (running max of scaled values == scaled running max —
+                # scaling is monotone)
+                run = run / scale
         out = g.drop(columns=["__bk"]).copy()
         out[alias] = run
         return out

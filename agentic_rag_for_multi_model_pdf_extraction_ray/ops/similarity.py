@@ -195,10 +195,29 @@ def build_lsh_index_store(ds: rd.Dataset, index_dir: str, n_bits: int = 6,
         .take_all()  # tiny: one row per non-empty bucket
     )
     os.makedirs(index_dir, exist_ok=True)
+    from ..functions.hashing import token_hash_fingerprint
+
     with open(os.path.join(index_dir, "_INDEX.json"), "w") as f:
         json.dump({"dim": dim, "n_bits": n_bits, "seed": seed,
-                   "id_col": id_col, "vec_col": vec_col}, f)
+                   "id_col": id_col, "vec_col": vec_col,
+                   "token_hash_sentinel": token_hash_fingerprint()}, f)
     return out
+
+
+def _check_token_hash(meta: dict, index_dir: str) -> None:
+    """Fail loudly if this installation's token-hash function would
+    bucket queries differently from the one that BUILT the index (the
+    persisted sentinel is hash_tokens(["a"]) at build time) — a silent
+    mismatch would return confidently-wrong neighbors."""
+    from ..functions.hashing import token_hash_fingerprint
+
+    want = meta.get("token_hash_sentinel")
+    if want is not None and int(want) != token_hash_fingerprint():
+        raise RuntimeError(
+            f"token-hash mismatch for index {index_dir}: built with "
+            f"sentinel {want}, this installation computes "
+            f"{token_hash_fingerprint()} — rebuild the index (or align "
+            "pandas/hash-key versions) before querying")
 
 
 def query_lsh_index(index_dir: str, query_vec: np.ndarray, k: int = 10,
@@ -215,6 +234,7 @@ def query_lsh_index(index_dir: str, query_vec: np.ndarray, k: int = 10,
 
     with open(os.path.join(index_dir, "_INDEX.json")) as f:
         meta = json.load(f)
+    _check_token_hash(meta, index_dir)
     n_bits, seed = meta["n_bits"], meta["seed"]
     q = np.asarray(query_vec, dtype=np.float64)
     q = q / (np.linalg.norm(q) or 1.0)
@@ -325,9 +345,12 @@ def build_ivf_index_store(ds: rd.Dataset, index_dir: str, n_centroids: int = 64,
         .take_all()  # tiny: one row per non-empty centroid
     )
     os.makedirs(index_dir, exist_ok=True)
+    from ..functions.hashing import token_hash_fingerprint
+
     with open(os.path.join(index_dir, "_INDEX.json"), "w") as f:
         json.dump({"kind": "ivf", "centroids": C.tolist(),
-                   "id_col": id_col, "vec_col": vec_col}, f)
+                   "id_col": id_col, "vec_col": vec_col,
+                   "token_hash_sentinel": token_hash_fingerprint()}, f)
     return out
 
 
@@ -344,6 +367,7 @@ def query_ivf_index(index_dir: str, query_vec: np.ndarray, k: int = 10,
 
     with open(os.path.join(index_dir, "_INDEX.json")) as f:
         meta = json.load(f)
+    _check_token_hash(meta, index_dir)
     C = np.asarray(meta["centroids"], dtype=np.float64)
     q = np.asarray(query_vec, dtype=np.float64)
     q = q / (np.linalg.norm(q) or 1.0)

@@ -22,13 +22,28 @@ def tumbling_window(events: rd.Dataset, key: str = "event_type",
                     freq: str = "h") -> rd.Dataset:
     """Count + sum(value) per (key, window-start-hour).
 
+    ``freq`` accepts a pandas-style offset alias with an optional
+    integer multiple over second/minute/hour/day units — "h", "2h",
+    "30min", "1d", "90s" (the round-3 Arrow rewrite had narrowed the
+    accepted set to bare {"h","min","d"}; multiples are restored via
+    ``floor_temporal(multiple=...)``).
+
     window column is a formatted string so the Arrow/DuckDB timestamp
     unit mismatch can't bite the comparison.
     """
+    import re
 
     from ..functions.rounding import cents
 
-    _UNIT = {"h": "hour", "min": "minute", "d": "day"}[freq]
+    m = re.fullmatch(r"(\d*)(s|sec|min|t|h|d)",
+                     freq.strip().lower())
+    if not m:
+        raise ValueError(
+            "freq must be an integer multiple of s/min/h/d "
+            f"(e.g. 'h', '2h', '30min', '1d'); got {freq!r}")
+    _mult = int(m.group(1) or 1)
+    _UNIT = {"s": "second", "sec": "second", "min": "minute",
+             "t": "minute", "h": "hour", "d": "day"}[m.group(2)]
 
     def add_window(batch: pa.Table) -> pa.Table:
         # Arrow-native (zero-copy in): floor_temporal + strftime in C,
@@ -36,8 +51,10 @@ def tumbling_window(events: rd.Dataset, key: str = "event_type",
         ts = batch.column("ts").cast(pa.timestamp("us"))
         # cast the floored stamp to seconds — Arrow's %S prints
         # fractional digits for sub-second units
-        w = pc.strftime(pc.floor_temporal(ts, unit=_UNIT).cast(pa.timestamp("s")),
-                        format="%Y-%m-%d %H:%M:%S")
+        w = pc.strftime(
+            pc.floor_temporal(ts, multiple=_mult, unit=_UNIT)
+            .cast(pa.timestamp("s")),
+            format="%Y-%m-%d %H:%M:%S")
         return pa.table({
             key: batch.column(key),
             "window_start": w,

@@ -75,13 +75,51 @@ def upsert_chunks(chunks: rd.Dataset, store_dir: str, dim: int = 384,
         return pa.Table.from_pylist([{"part": part, "rows": data.num_rows,
                                       "status": m["status"]}])
 
-    return (
+    out = (
         with_vecs.map_batches(add_part, batch_format="pandas")
         .repartition(n_partitions)
         .groupby("part")
         .map_groups(write_group, batch_format="pyarrow")
         .take_all()
     )
+    _write_store_meta(store_dir, dim)
+    return out
+
+
+def _write_store_meta(store_dir: str, dim: int) -> None:
+    """Atomic ``_STORE.json``: embedding dim + the token-hash sentinel
+    (hash_tokens(["a"]) at write time) so a reader on a different
+    installation detects hash drift instead of silently mis-scoring
+    queries embedded with a different hash."""
+    import json
+
+    from ..functions.hashing import token_hash_fingerprint
+
+    os.makedirs(store_dir, exist_ok=True)
+    tmp = os.path.join(store_dir, "_STORE.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump({"dim": dim,
+                   "token_hash_sentinel": token_hash_fingerprint()}, f)
+    os.replace(tmp, os.path.join(store_dir, "_STORE.json"))
+
+
+def _check_store_meta(store_dir: str) -> None:
+    import json
+
+    from ..functions.hashing import token_hash_fingerprint
+
+    path = os.path.join(store_dir, "_STORE.json")
+    if not os.path.isfile(path):
+        return  # pre-sentinel store: nothing to verify against
+    with open(path) as f:
+        meta = json.load(f)
+    want = meta.get("token_hash_sentinel")
+    if want is not None and int(want) != token_hash_fingerprint():
+        raise RuntimeError(
+            f"token-hash mismatch for store {store_dir}: written with "
+            f"sentinel {want}, this installation computes "
+            f"{token_hash_fingerprint()} — re-ingest (or align pandas/"
+            "hash-key versions) before querying")
 
 
 def build_store_index(store_dir: str, index_dir: str, n_bits: int = 6,
@@ -107,6 +145,7 @@ def query_store(store_dir: str, question: str, top_k: int = 8,
     reads only the probed LSH buckets' parquet files (approximate —
     recall governed by n_bits/n_probes); otherwise exact brute force
     over the full store."""
+    _check_store_meta(store_dir)
     qv = HashingEmbedder(dim=dim)._encode(question)
     from ..ops.similarity import knn_bruteforce, query_lsh_index
 

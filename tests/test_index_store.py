@@ -190,3 +190,49 @@ def test_ivf_query_filter_fn(tmp_path):
     assert len(hits) == 5
     assert all(int(v) % 3 == 0 for v in hits["vec_id"])
     assert stats["files_read"] >= 1 and stats["paths"]
+
+
+def test_token_hash_sentinel_guards_index_and_store(tmp_path):
+    # ADVICE r3: persisted indexes/stores record hash_tokens(["a"]) at
+    # build time and refuse to serve queries on a drifted installation
+    from agentic_rag_for_multi_model_pdf_extraction_ray.functions.hashing import (
+        token_hash_fingerprint,
+    )
+
+    M, ds = _vectors(n=60, d=16)
+    idx = str(tmp_path / "idx")
+    build_lsh_index_store(ds, idx, n_bits=3)
+    meta_path = os.path.join(idx, "_INDEX.json")
+    with open(meta_path) as f:
+        meta = json.load(f)
+    assert meta["token_hash_sentinel"] == token_hash_fingerprint()
+
+    # untampered: query serves
+    hits, _ = query_lsh_index(idx, M[0], k=3, n_probes=3)
+    assert len(hits) == 3
+
+    # tampered sentinel (simulated hash drift): loud refusal
+    meta["token_hash_sentinel"] = meta["token_hash_sentinel"] ^ 1
+    with open(meta_path, "w") as f:
+        json.dump(meta, f)
+    with pytest.raises(RuntimeError, match="token-hash mismatch"):
+        query_lsh_index(idx, M[0], k=3)
+
+    # store-level sentinel rides _STORE.json through upsert/query
+    chunks = rd.from_pandas(pd.DataFrame({
+        "chunk_id": [f"c{i}" for i in range(8)],
+        "structured_text": [f"alpha beta {i}" for i in range(8)],
+        "kind": ["text"] * 8,
+    }))
+    store = str(tmp_path / "store")
+    upsert_chunks(chunks, store, dim=32, n_partitions=2, concurrency=1)
+    spath = os.path.join(store, "_STORE.json")
+    with open(spath) as f:
+        smeta = json.load(f)
+    assert smeta["token_hash_sentinel"] == token_hash_fingerprint()
+    assert len(query_store(store, "alpha", top_k=2, dim=32)) == 2
+    smeta["token_hash_sentinel"] ^= 1
+    with open(spath, "w") as f:
+        json.dump(smeta, f)
+    with pytest.raises(RuntimeError, match="token-hash mismatch"):
+        query_store(store, "alpha", top_k=2, dim=32)

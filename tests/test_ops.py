@@ -380,3 +380,64 @@ def test_grouped_exact_distinct_bounded_and_exact():
         )
         assert got["g"].tolist() == want["g"].tolist()
         assert got["n"].tolist() == want["n"].tolist()
+
+
+def test_prefix_scan_max_with_scale_unscales():
+    # ADVICE r3: op="max" with scale must divide the fixed-point values
+    # back out (it used to return the running max ×scale)
+    from agentic_rag_for_multi_model_pdf_extraction_ray.ops.scan import prefix_scan
+
+    rng = np.random.RandomState(7)
+    n = 300
+    df = pd.DataFrame({"k": rng.permutation(n),
+                       "v": np.round(rng.uniform(0, 100, n), 2)})
+    ds = rd.from_pandas(df).repartition(4)
+    out = prefix_scan(ds, "k", "v", op="max", bucket_width=64,
+                      scale=100).to_pandas().sort_values("k")
+    ref = df.sort_values("k")
+    scaled = np.floor(ref["v"].to_numpy() * 100 + 0.5).astype(np.int64)
+    want = np.maximum.accumulate(scaled) / 100
+    assert np.array_equal(out["running_max"].to_numpy(), want)
+
+
+def test_tumbling_window_freq_multiples():
+    # ADVICE r3: the Arrow rewrite must keep pandas-style multiples
+    # ("30min", "2h"), not just bare {"h","min","d"}
+    from agentic_rag_for_multi_model_pdf_extraction_ray.ops.window import (
+        tumbling_window,
+    )
+
+    ev = rd.from_pandas(pd.DataFrame({
+        "event_type": ["x", "x", "x"],
+        "ts": pd.to_datetime(["2024-01-01 10:05", "2024-01-01 10:40",
+                              "2024-01-01 11:10"]),
+        "value": [1.0, 2.0, 4.0],
+    }))
+    out = (tumbling_window(ev, freq="30min").to_pandas()
+           .sort_values("window_start"))
+    assert out["window_start"].tolist() == [
+        "2024-01-01 10:00:00", "2024-01-01 10:30:00", "2024-01-01 11:00:00"]
+    assert out["n"].tolist() == [1, 1, 1]
+
+    out2 = (tumbling_window(ev, freq="2h").to_pandas()
+            .sort_values("window_start"))
+    assert out2["window_start"].tolist() == ["2024-01-01 10:00:00"]
+    assert out2["n"].tolist() == [3]
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="freq"):
+        tumbling_window(ev, freq="fortnight")
+
+
+def test_weighted_reservoir_empty_path_schema():
+    # ADVICE r3: the all-filtered path must not leak the internal
+    # __rk score column (schema must be input-independent)
+    from agentic_rag_for_multi_model_pdf_extraction_ray.ops.sample import (
+        weighted_reservoir_sample,
+    )
+
+    empty = weighted_reservoir_sample(
+        rd.from_pandas(pd.DataFrame({"doc_id": [1, 2], "w": [0.0, -3.0]})),
+        "doc_id", "w", k=5).to_pandas()
+    assert len(empty) == 0
+    assert "__rk" not in empty.columns
