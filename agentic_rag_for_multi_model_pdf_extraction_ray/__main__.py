@@ -150,8 +150,10 @@ def main(argv=None) -> None:
                      help="conditionally-routed flow (quality gate, "
                           "widened re-retrieve, grounding-gate revise)")
     pq_.add_argument("--index", default=None,
-                     help="persisted LSH index dir (build_store_index): "
-                          "routed retrieval probes only its buckets")
+                     help="persisted ANN index dir (build_store_index, "
+                          "LSH or IVF — dispatched on the index's own "
+                          "metadata): routed retrieval probes only its "
+                          "partitions")
     pq_.set_defaults(fn=cmd_query)
 
     pp = sub.add_parser("pipeline", help="ingest then query")

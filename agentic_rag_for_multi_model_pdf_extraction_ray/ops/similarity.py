@@ -390,6 +390,30 @@ def query_ivf_index(index_dir: str, query_vec: np.ndarray, k: int = 10,
     return hits, stats
 
 
+def query_index(index_dir: str, query_vec: np.ndarray, k: int = 10,
+                n_probes: int = 2, exclude_ids: set | None = None,
+                filter_fn=None):
+    """Top-k against ANY persisted index, dispatching on the
+    ``_INDEX.json`` ``kind`` field ("ivf" → centroid partitions,
+    default → sign-LSH buckets).  ``n_probes`` means Hamming radius
+    for LSH and nearest-centroid count for IVF — both bound how many
+    partitions are read.  Returns (hits, stats) like the per-kind
+    query functions."""
+    import json
+    import os
+
+    with open(os.path.join(index_dir, "_INDEX.json")) as f:
+        kind = json.load(f).get("kind", "lsh")
+    if kind == "ivf":
+        # radius-R LSH multiprobe reads O(n_bits^R) buckets; map the
+        # same knob to "that many nearest centroids" (min 1)
+        return query_ivf_index(index_dir, query_vec, k,
+                               nprobe=max(1, n_probes * 2),
+                               exclude_ids=exclude_ids, filter_fn=filter_fn)
+    return query_lsh_index(index_dir, query_vec, k, n_probes=n_probes,
+                           exclude_ids=exclude_ids, filter_fn=filter_fn)
+
+
 def retrieval_with_figure_boost(hits: pd.DataFrame, figure_hits: pd.DataFrame,
                                 text_col: str = "text") -> pd.DataFrame:
     """Reference J2 (orchestrator.py:120-127): union of general top-k

@@ -49,11 +49,12 @@ def retrieve(chunks_with_embeddings: rd.Dataset | None, question: str,
     visual = any(w in question.lower() for w in ("figure", "image", "chart", "diagram"))
 
     if index_dir is not None:
-        from ..ops.similarity import query_lsh_index
+        # kind-dispatched on the index's own metadata (LSH or IVF)
+        from ..ops.similarity import query_index
 
-        hits, stats = query_lsh_index(index_dir, qv, k=top_k, n_probes=n_probes)
+        hits, stats = query_index(index_dir, qv, k=top_k, n_probes=n_probes)
         if visual:
-            fig_hits, _ = query_lsh_index(
+            fig_hits, _ = query_index(
                 index_dir, qv, k=figure_top_k, n_probes=n_probes,
                 filter_fn=lambda b: b[b["kind"] == "figure"])
         else:

@@ -123,14 +123,24 @@ def _check_store_meta(store_dir: str) -> None:
 
 
 def build_store_index(store_dir: str, index_dir: str, n_bits: int = 6,
-                      seed: int = 11) -> list[dict]:
-    """Persist a sign-LSH index of the chunk store, partitioned by
-    bucket, so queries read only probed buckets' files."""
-    from ..ops.similarity import build_lsh_index_store
+                      seed: int = 11, kind: str = "lsh",
+                      n_centroids: int = 64) -> list[dict]:
+    """Persist an ANN index of the chunk store, partitioned by bucket
+    (``kind="lsh"``, sign-LSH over ``n_bits`` hyperplanes) or by
+    nearest centroid (``kind="ivf"``), so queries read only probed
+    partitions' files.  ``query_store`` dispatches on the index's own
+    metadata — build either kind, query the same way."""
+    from ..ops.similarity import build_ivf_index_store, build_lsh_index_store
 
     # Streaming read of the partition files — the store is never
     # concatenated on the driver (at scale it is itself a large table).
     ds = read_output_ds(store_dir)
+    if kind == "ivf":
+        return build_ivf_index_store(ds, index_dir, n_centroids=n_centroids,
+                                     id_col="chunk_id", vec_col="embedding",
+                                     seed=seed)
+    if kind != "lsh":
+        raise ValueError(f"kind must be 'lsh' or 'ivf'; got {kind!r}")
     return build_lsh_index_store(ds, index_dir, n_bits=n_bits,
                                  id_col="chunk_id", vec_col="embedding",
                                  seed=seed)
@@ -141,18 +151,21 @@ def query_store(store_dir: str, question: str, top_k: int = 8,
                 index_dir: str | None = None, n_probes: int = 2) -> pd.DataFrame:
     """Top-k retrieval against a stored vector table.
 
-    With ``index_dir`` (built by :func:`build_store_index`) the query
-    reads only the probed LSH buckets' parquet files (approximate —
-    recall governed by n_bits/n_probes); otherwise exact brute force
-    over the full store."""
+    With ``index_dir`` (built by :func:`build_store_index`, LSH or
+    IVF — dispatched on the index's own metadata) the query reads only
+    the probed partitions' parquet files (approximate — recall
+    governed by n_bits/n_probes or n_centroids/nprobe); otherwise
+    exact brute force over the full store."""
     _check_store_meta(store_dir)
     qv = HashingEmbedder(dim=dim)._encode(question)
-    from ..ops.similarity import knn_bruteforce, query_lsh_index
+    from ..ops.similarity import knn_bruteforce, query_index
 
     if index_dir is not None:
+        # kind-dispatched (LSH or IVF — whatever build wrote): index-
+        # type parity, the reference has ONE query surface (store.py:91)
         filt = (lambda b: b[b["kind"] == kind]) if kind is not None else None
-        hits, _ = query_lsh_index(index_dir, np.asarray(qv), k=top_k,
-                                  n_probes=n_probes, filter_fn=filt)
+        hits, _ = query_index(index_dir, np.asarray(qv), k=top_k,
+                              n_probes=n_probes, filter_fn=filt)
         return hits
     ds = read_output_ds(store_dir)
     if kind is not None:

@@ -236,3 +236,25 @@ def test_token_hash_sentinel_guards_index_and_store(tmp_path):
         json.dump(smeta, f)
     with pytest.raises(RuntimeError, match="token-hash mismatch"):
         query_store(store, "alpha", top_k=2, dim=32)
+
+
+def test_store_index_kind_dispatch_ivf(tmp_path):
+    # index-type parity: build_store_index(kind="ivf") and the SAME
+    # query_store call serves it (dispatch on _INDEX.json kind), with
+    # an exact-agreement check against brute force at full probe
+    store = str(tmp_path / "store")
+    full = {f"c{i}": f"topic {i} " + "ray data streaming " * (i + 1)
+            for i in range(12)}
+    upsert_chunks(_chunks(full), store, dim=32, n_partitions=4, concurrency=1)
+    idx = str(tmp_path / "ivf")
+    build_store_index(store, idx, kind="ivf", n_centroids=3)
+    with open(os.path.join(idx, "_INDEX.json")) as f:
+        assert json.load(f)["kind"] == "ivf"
+
+    hits = query_store(store, "ray data streaming", top_k=3, dim=32,
+                       index_dir=idx, n_probes=3)  # nprobe=6 ≥ all 3 cells
+    brute = query_store(store, "ray data streaming", top_k=3, dim=32)
+    assert hits["chunk_id"].tolist() == brute["chunk_id"].tolist()
+
+    with pytest.raises(ValueError, match="kind"):
+        build_store_index(store, str(tmp_path / "bad"), kind="flat")
