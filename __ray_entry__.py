@@ -1202,6 +1202,40 @@ def _q_media_features(sf_dir: str):
     return extract_media_features(_docs_raw_ds(sf_dir), concurrency=2)
 
 
+def _q_watermark_window(sf_dir: str):
+    """Tumbling windows with allowed-lateness semantics: a
+    deterministic jittered arrival order (arrival = event_id +
+    (event_id % 10) * 50, injective — 50·d ≡ 0 (mod 10) forces d = 0)
+    simulates bounded out-of-orderness, the watermark is the running
+    max of event time over that arrival order (distributed two-level
+    prefix scan), and events more than 2h behind it are dropped before
+    the window aggregate.  Mirrors a DuckDB
+    ``max(epoch_us(ts)) OVER (ORDER BY arrival)`` window oracle."""
+    import pyarrow.compute as pc
+
+    from agentic_rag_for_multi_model_pdf_extraction_ray.ops.window import (
+        watermarked_tumbling_window,
+    )
+    from agentic_rag_for_multi_model_pdf_extraction_ray.sources.corpus import (
+        read_table,
+    )
+
+    ev = read_table(sf_dir, "events",
+                    columns=["event_id", "ts", "event_type", "value"])
+
+    def add_arrival(t):
+        e = t.column("event_id")
+        arr = pc.add(e, pc.multiply(pc.subtract(
+            e, pc.multiply(pc.divide(e, 10), 10)), 50))
+        return t.append_column("arrival", arr)
+
+    df = watermarked_tumbling_window(
+        ev.map_batches(add_arrival, batch_format="pyarrow"),
+        key="event_type", freq="h", arrival_col="arrival",
+        lateness_sec=7200).to_pandas()
+    return df[["event_type", "window_start", "n", "sum_value"]]
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """One entry per implemented pipeline/operator (SURVEY.md section 2).
 
@@ -1259,11 +1293,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_knn_store_full": _q_knn_store_full,
         "q_knn_ivf_full": _q_knn_ivf_full,
         "q_cosine_pairs_lsh": _q_cosine_pairs_lsh,
+        "q_watermark_window": _q_watermark_window,
         # --- rows-only (no SQL equivalent; pytest holds the strict gate) ---
         "q_extract_documents": _q_extract_documents,
-        "q_kind_histogram": _q_kind_histogram,
         "q_minhash_clusters": _q_minhash_clusters,
         # --- past the driver's 50-row recording window ---
+        "q_kind_histogram": _q_kind_histogram,  # redundant with oracled q_source_histogram
         "q_simhash_pairs": _q_simhash_pairs,
         "q_extract_spans": _q_extract_spans,
         "q_chunks_direct": _q_chunks_direct,
@@ -1532,6 +1567,22 @@ def oracle_sql() -> dict[str, str]:
                          * 1000000 + 0.5) / 1000000 AS cosine
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.95
+        """,
+        "q_watermark_window": """
+            WITH w AS (
+              SELECT event_type, ts, value,
+                     max(epoch_us(ts)) OVER (
+                       ORDER BY event_id + (event_id % 10) * 50
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     ) AS wm
+              FROM events)
+            SELECT event_type,
+                   strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+                   count(*) AS n,
+                   sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) / 100.0 AS sum_value
+            FROM w
+            WHERE epoch_us(ts) >= wm - CAST(7200 AS BIGINT) * 1000000
+            GROUP BY event_type, date_trunc('hour', ts)
         """,
         "q_ngram_jaccard_exact": r"""
             WITH toks AS (

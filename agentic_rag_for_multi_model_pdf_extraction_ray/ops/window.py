@@ -177,3 +177,75 @@ def sessionize(events: rd.Dataset, key: str = "user_id",
     return (events.map_batches(add_bk, batch_format="pandas")
             .groupby("__bk")
             .map_groups(per_bucket, batch_format="pandas"))
+
+
+def late_event_filter(events: rd.Dataset, arrival_col: str,
+                      ts_col: str = "ts", lateness_sec: int = 3600,
+                      bucket_width: int = 65536,
+                      keep_stats_cols: bool = False) -> rd.Dataset:
+    """Watermark-based late-data filter (the streaming engines'
+    allowed-lateness semantics, batch-replayable).
+
+    The watermark at each event is the running max of EVENT time over
+    ARRIVAL order (``arrival_col``, an integer arrival sequence —
+    processing time).  An event survives iff::
+
+        event_time >= watermark - lateness_sec
+
+    i.e. it is at most ``lateness_sec`` behind the newest event time
+    already seen when it arrives — exactly Flink/Beam's bounded-out-
+    of-orderness watermark, expressed as a composition of engine
+    primitives: one epoch-microseconds projection, a distributed
+    :func:`~..ops.scan.prefix_scan` (op="max", two-level — nothing
+    corpus-sized on the driver), and a vectorized filter.  Exact (all
+    int64 microseconds) and mirrorable by a SQL
+    ``max(epoch_us(ts)) OVER (ORDER BY arrival)`` window oracle.
+
+    With ``keep_stats_cols`` the internal ``__ts_us`` / ``__wm_us``
+    columns survive for inspection (e.g. counting drops); by default
+    the output schema equals the input schema.
+
+    Partitioning assumption (inherited from prefix_scan): the arrival
+    key is integer-comparable and roughly dense, and one
+    ``bucket_width`` range of it fits a worker.
+    """
+    import numpy as np
+
+    late_us = int(lateness_sec) * 1_000_000
+
+    def add_us(t: pa.Table) -> pa.Table:
+        us = t.column(ts_col).cast(pa.timestamp("us")).cast(pa.int64())
+        return t.append_column("__ts_us", us)
+
+    from .scan import prefix_scan
+
+    with_wm = prefix_scan(events.map_batches(add_us, batch_format="pyarrow"),
+                          arrival_col, "__ts_us", op="max",
+                          bucket_width=bucket_width, alias="__wm_us")
+
+    def keep_on_time(b: pd.DataFrame) -> pd.DataFrame:
+        # __wm_us may arrive float64 (the scan's cross-bucket offsets
+        # ride a NaN-able series) — values are exact below 2^53, which
+        # holds for any epoch-microsecond timestamp before year 2255
+        ok = b["__ts_us"].to_numpy() >= (
+            np.asarray(b["__wm_us"].to_numpy(), dtype=np.int64) - late_us)
+        out = b[ok]
+        return out if keep_stats_cols else out.drop(
+            columns=["__ts_us", "__wm_us"])
+
+    return with_wm.map_batches(keep_on_time, batch_format="pandas")
+
+
+def watermarked_tumbling_window(events: rd.Dataset, key: str = "event_type",
+                                freq: str = "h", arrival_col: str = "arrival",
+                                ts_col: str = "ts",
+                                lateness_sec: int = 3600,
+                                bucket_width: int = 65536) -> rd.Dataset:
+    """Tumbling count+sum windows over only the events that survive
+    the :func:`late_event_filter` watermark — the end-to-end
+    "windowed aggregate with allowed lateness" a streaming log
+    pipeline needs when replayed as a batch job."""
+    on_time = late_event_filter(events, arrival_col, ts_col=ts_col,
+                                lateness_sec=lateness_sec,
+                                bucket_width=bucket_width)
+    return tumbling_window(on_time, key=key, freq=freq)

@@ -441,3 +441,49 @@ def test_weighted_reservoir_empty_path_schema():
         "doc_id", "w", k=5).to_pandas()
     assert len(empty) == 0
     assert "__rk" not in empty.columns
+
+
+def test_late_event_filter_watermark_semantics():
+    # bounded-out-of-orderness watermark: an event survives iff its
+    # event time is at most lateness behind the max event time already
+    # seen in ARRIVAL order (inclusive running max == an event is never
+    # late w.r.t. itself)
+    from agentic_rag_for_multi_model_pdf_extraction_ray.ops.window import (
+        late_event_filter,
+        watermarked_tumbling_window,
+    )
+
+    base = pd.Timestamp("2024-01-01 10:00:00")
+    # arrival order: t+0h, t+3h (advances watermark), then stragglers
+    # 1h / 2h / 4h behind the 13:00 watermark, then t+3h30
+    rows = pd.DataFrame({
+        "arrival": [0, 1, 2, 3, 4, 5],
+        "ts": [base, base + pd.Timedelta(hours=3),
+               base + pd.Timedelta(hours=2),      # 1h late  -> keep @2h
+               base + pd.Timedelta(hours=1),      # 2h late  -> drop @<2h... keep @2h (>=)
+               base - pd.Timedelta(hours=1),      # 4h late  -> drop @2h
+               base + pd.Timedelta(hours=3, minutes=30)],
+        "event_type": ["x"] * 6,
+        "value": [1.0, 2.0, 4.0, 8.0, 16.0, 32.0],
+    })
+    ds = rd.from_pandas(rows).repartition(3)
+
+    kept = late_event_filter(ds, "arrival", lateness_sec=2 * 3600,
+                             bucket_width=2).to_pandas()
+    # 2h-late straggler sits exactly AT watermark - lateness: kept (>=)
+    assert sorted(kept["value"].tolist()) == [1.0, 2.0, 4.0, 8.0, 32.0]
+    assert "__wm_us" not in kept.columns and "__ts_us" not in kept.columns
+
+    strict = late_event_filter(ds, "arrival", lateness_sec=3600 - 1,
+                               bucket_width=2).to_pandas()
+    assert sorted(strict["value"].tolist()) == [1.0, 2.0, 32.0]
+
+    # singleton oracle: per-window aggregate over survivors only
+    agg = (watermarked_tumbling_window(ds, lateness_sec=2 * 3600,
+                                       bucket_width=2)
+           .to_pandas().sort_values("window_start"))
+    assert agg["window_start"].tolist() == [
+        "2024-01-01 10:00:00", "2024-01-01 11:00:00",
+        "2024-01-01 12:00:00", "2024-01-01 13:00:00"]
+    assert agg["n"].tolist() == [1, 1, 1, 2]
+    assert agg["sum_value"].tolist() == [1.0, 8.0, 4.0, 34.0]
