@@ -108,4 +108,14 @@ def prefix_scan(ds: rd.Dataset, order_col: str, value_col: str,
         out[alias] = run
         return out
 
-    return bucketed.groupby("__bk").map_groups(scan_group, batch_format="pandas")
+    from .dedup import _shuffle_width
+
+    # repartition after the map_groups: the groupby emits one block per
+    # bucket plus schema-less EMPTY blocks for empty partitions, and a
+    # downstream groupby/join over that ragged block list measurably
+    # degrades (5.4 s -> 2.3 s for the watermark window's tumbling
+    # aggregate at sf0.1) or errors outright ([[ray-local-pitfalls]]).
+    # Cluster-derived width; plain (split/merge) repartition, no shuffle.
+    return (bucketed.groupby("__bk")
+            .map_groups(scan_group, batch_format="pandas")
+            .repartition(_shuffle_width(1.0)))
