@@ -36,25 +36,77 @@ import ray.data as rd
 _OPS = {"sum", "max"}
 
 
+def _quantile_edges(src: rd.Dataset, order_col: str,
+                    n_buckets: int, per_block: int = 256) -> np.ndarray:
+    """Sampled quantile cut points for range-bucketing a skewed order
+    key: a strided per-block sample (≤ ``per_block`` values each — the
+    driver sees O(blocks × per_block) numbers, never the column) →
+    ``n_buckets - 1`` interior quantiles.  Edge quality only affects
+    LOAD BALANCE, never correctness — any monotone bucketing of the
+    order axis yields the same scan."""
+
+    def sample(t: pa.Table) -> pa.Table:
+        o = t.column(order_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        stride = max(1, len(o) // per_block)
+        return pa.table({"o": pa.array(o[::stride])})
+
+    rows = (src.select_columns([order_col])
+            .map_batches(sample, batch_format="pyarrow", batch_size=None)
+            .take_all())
+    samp = np.array([r["o"] for r in rows], dtype=np.int64)
+    if not len(samp):
+        return np.empty(0, dtype=np.int64)
+    qs = np.quantile(samp, np.linspace(0, 1, n_buckets + 1)[1:-1])
+    return np.unique(qs.astype(np.int64))
+
+
 def prefix_scan(ds: rd.Dataset, order_col: str, value_col: str,
                 op: str = "sum", bucket_width: int = 65536,
                 scale: int | None = None,
-                alias: str | None = None) -> rd.Dataset:
+                alias: str | None = None,
+                quantile_buckets: int | None = None) -> rd.Dataset:
     """Add ``alias`` (default ``running_<op>``) = inclusive running
-    aggregate of ``value_col`` in ``order_col`` order."""
+    aggregate of ``value_col`` in ``order_col`` order.
+
+    Bucketing: by default fixed-width ranges of the order key
+    (``order // bucket_width`` — cheap, but assumes a roughly dense
+    key).  For a SKEWED order key pass ``quantile_buckets=N``:
+    sampled quantile edges split the order axis into N range buckets
+    of roughly equal row count regardless of the key distribution
+    (the sample is bounded per block; edges are broadcast once).
+    Bucket assignment stays monotone in the order value either way,
+    which is all the two-level scan's correctness needs."""
     if op not in _OPS:
         raise ValueError(f"op must be one of {_OPS}")
     alias = alias or f"running_{op}"
 
-    def add_bucket(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
+    if quantile_buckets is not None:
+        # materialize once so the sampling pass doesn't recompute the
+        # upstream pipeline (same trade as the bucketed materialize
+        # below; at 100 TB the alternative is one extra upstream pass)
+        src = ds.materialize()
+        edges = _quantile_edges(src, order_col, quantile_buckets)
+        e_ref = ray.put(edges)
 
-        order = t.column(order_col).cast(pa.int64())
-        # integer divide truncates = floor for the non-negative keys
-        # this operator supports
-        return t.append_column("__bk", pc.divide(order, bucket_width))
+        def add_bucket(t: pa.Table) -> pa.Table:
+            order = t.column(order_col).cast(pa.int64()).to_numpy(
+                zero_copy_only=False)
+            bk = np.searchsorted(ray.get(e_ref), order, side="right")
+            return t.append_column("__bk", pa.array(bk.astype(np.int64)))
 
-    bucketed = ds.map_batches(add_bucket, batch_format="pyarrow").materialize()
+        bucketed = src.map_batches(add_bucket,
+                                   batch_format="pyarrow").materialize()
+    else:
+        def add_bucket(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            order = t.column(order_col).cast(pa.int64())
+            # integer divide truncates = floor for the non-negative
+            # keys this operator supports
+            return t.append_column("__bk", pc.divide(order, bucket_width))
+
+        bucketed = ds.map_batches(add_bucket,
+                                  batch_format="pyarrow").materialize()
 
     def _vals(b: pd.DataFrame) -> np.ndarray:
         v = b[value_col].to_numpy()

@@ -487,3 +487,46 @@ def test_late_event_filter_watermark_semantics():
         "2024-01-01 12:00:00", "2024-01-01 13:00:00"]
     assert agg["n"].tolist() == [1, 1, 1, 2]
     assert agg["sum_value"].tolist() == [1.0, 8.0, 4.0, 34.0]
+
+
+def test_prefix_scan_quantile_buckets_skewed_key():
+    # a pathologically skewed order key (99% of rows in [0,100], a few
+    # huge outliers) puts everything in ONE fixed-width bucket; the
+    # quantile mode balances load AND stays exact vs the cumulative
+    # oracle (any monotone bucketing gives the same scan)
+    from agentic_rag_for_multi_model_pdf_extraction_ray.ops.scan import (
+        _quantile_edges,
+        prefix_scan,
+    )
+
+    rng = np.random.RandomState(3)
+    n = 2000
+    # a unique skewed key: 1980 keys dense in [0, 1980), 20 huge outliers
+    order = np.concatenate([np.arange(n - 20, dtype=np.int64),
+                            10**9 + np.arange(20, dtype=np.int64) * 10**7])
+    vals = np.round(rng.uniform(-10, 10, n), 2)
+    df = pd.DataFrame({"k": rng.permutation(order), "v": vals})
+    ds = rd.from_pandas(df).repartition(4)
+
+    out = prefix_scan(ds, "k", "v", op="sum", scale=100,
+                      quantile_buckets=8).to_pandas().sort_values("k")
+    ref = df.sort_values("k")
+    want = np.floor(ref["v"].to_numpy() * 100 + 0.5).astype(np.int64).cumsum() / 100
+    assert np.array_equal(out["running_sum"].to_numpy(), want)
+
+    # max + quantile buckets also exact
+    outm = prefix_scan(ds, "k", "v", op="max",
+                       quantile_buckets=8).to_pandas().sort_values("k")
+    assert np.array_equal(outm["running_max"].to_numpy(),
+                          np.maximum.accumulate(ref["v"].to_numpy()))
+
+    # balance evidence: quantile edges split the skewed key into
+    # buckets where no bucket holds more than ~half the rows (fixed
+    # width 65536 would put 99% into bucket 0)
+    src = rd.from_pandas(df).repartition(4).materialize()
+    edges = _quantile_edges(src, "k", 8)
+    bk = np.searchsorted(edges, df["k"].to_numpy(), side="right")
+    counts = np.bincount(bk)
+    assert counts.max() <= 0.5 * n
+    fixed = np.bincount(df["k"].to_numpy() // 65536)
+    assert fixed.max() >= 0.98 * n  # the failure mode quantiles fix
