@@ -179,6 +179,23 @@ def sessionize(events: rd.Dataset, key: str = "user_id",
             .map_groups(per_bucket, batch_format="pandas"))
 
 
+def _with_watermark(events: rd.Dataset, arrival_col: str, ts_col: str,
+                    bucket_width: int) -> rd.Dataset:
+    """Attach ``__ts_us`` (event time, int64 µs) and ``__wm_us`` (the
+    watermark: running max of event time over arrival order) via the
+    distributed two-level :func:`~..ops.scan.prefix_scan`."""
+
+    def add_us(t: pa.Table) -> pa.Table:
+        us = t.column(ts_col).cast(pa.timestamp("us")).cast(pa.int64())
+        return t.append_column("__ts_us", us)
+
+    from .scan import prefix_scan
+
+    return prefix_scan(events.map_batches(add_us, batch_format="pyarrow"),
+                       arrival_col, "__ts_us", op="max",
+                       bucket_width=bucket_width, alias="__wm_us")
+
+
 def late_event_filter(events: rd.Dataset, arrival_col: str,
                       ts_col: str = "ts", lateness_sec: int = 3600,
                       bucket_width: int = 65536,
@@ -212,16 +229,7 @@ def late_event_filter(events: rd.Dataset, arrival_col: str,
     import numpy as np
 
     late_us = int(lateness_sec) * 1_000_000
-
-    def add_us(t: pa.Table) -> pa.Table:
-        us = t.column(ts_col).cast(pa.timestamp("us")).cast(pa.int64())
-        return t.append_column("__ts_us", us)
-
-    from .scan import prefix_scan
-
-    with_wm = prefix_scan(events.map_batches(add_us, batch_format="pyarrow"),
-                          arrival_col, "__ts_us", op="max",
-                          bucket_width=bucket_width, alias="__wm_us")
+    with_wm = _with_watermark(events, arrival_col, ts_col, bucket_width)
 
     def keep_on_time(b: pd.DataFrame) -> pd.DataFrame:
         # __wm_us may arrive float64 (the scan's cross-bucket offsets
@@ -249,3 +257,33 @@ def watermarked_tumbling_window(events: rd.Dataset, key: str = "event_type",
                                 lateness_sec=lateness_sec,
                                 bucket_width=bucket_width)
     return tumbling_window(on_time, key=key, freq=freq)
+
+
+def late_event_stats(events: rd.Dataset, arrival_col: str,
+                     ts_col: str = "ts", lateness_sec: int = 3600,
+                     bucket_width: int = 65536) -> dict:
+    """Drop-visibility companion to :func:`late_event_filter`:
+    ``{"n_total", "n_late", "max_lateness_sec"}`` computed in one
+    distributed pass (the same watermark scan, then a per-batch
+    partial reduce — the driver sees one tiny row per batch)."""
+    import numpy as np
+
+    late_us = int(lateness_sec) * 1_000_000
+    flagged = _with_watermark(events, arrival_col, ts_col, bucket_width)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        lag = (np.asarray(b["__wm_us"].to_numpy(), dtype=np.int64)
+               - b["__ts_us"].to_numpy())
+        return pd.DataFrame({
+            "n": [len(b)],
+            "late": [int((lag > late_us).sum())],
+            "max_lag_us": [int(lag.max()) if len(b) else 0],
+        })
+
+    parts = flagged.map_batches(partial, batch_format="pandas",
+                                batch_size=None).to_pandas()
+    return {
+        "n_total": int(parts["n"].sum()),
+        "n_late": int(parts["late"].sum()),
+        "max_lateness_sec": float(parts["max_lag_us"].max() / 1e6) if len(parts) else 0.0,
+    }

@@ -45,6 +45,10 @@ def upsert_chunks(chunks: rd.Dataset, store_dir: str, dim: int = 384,
     rows.  Serialize upserts to one store (the reference's ChromaDB
     client has the same single-writer contract per collection); reads
     stay safe at any time (atomic replace)."""
+    # meta first: the dim-mismatch refusal must fire BEFORE any
+    # partition is merged (mixed-dim partitions would poison queries);
+    # writing intent up front is harmless if the job dies mid-run
+    _write_store_meta(store_dir, dim)
     with_vecs = embed(chunks, dim=dim, text_col="structured_text",
                       concurrency=concurrency)
 
@@ -82,7 +86,6 @@ def upsert_chunks(chunks: rd.Dataset, store_dir: str, dim: int = 384,
         .map_groups(write_group, batch_format="pyarrow")
         .take_all()
     )
-    _write_store_meta(store_dir, dim)
     return out
 
 
@@ -90,11 +93,23 @@ def _write_store_meta(store_dir: str, dim: int) -> None:
     """Atomic ``_STORE.json``: embedding dim + the token-hash sentinel
     (hash_tokens(["a"]) at write time) so a reader on a different
     installation detects hash drift instead of silently mis-scoring
-    queries embedded with a different hash."""
+    queries embedded with a different hash.
+
+    Refuses a re-upsert with a DIFFERENT dim: the merge-upsert keeps
+    old rows, so mixed-dim partitions would poison every query."""
     import json
 
     from ..functions.hashing import token_hash_fingerprint
 
+    existing = os.path.join(store_dir, "_STORE.json")
+    if os.path.isfile(existing):
+        with open(existing) as f:
+            old_dim = json.load(f).get("dim")
+        if old_dim is not None and int(old_dim) != int(dim):
+            raise ValueError(
+                f"store {store_dir} was written with dim={old_dim}; "
+                f"re-upserting with dim={dim} would mix embedding widths "
+                "— use a new store dir or re-ingest everything")
     os.makedirs(store_dir, exist_ok=True)
     tmp = os.path.join(store_dir, "_STORE.json.tmp")
     with open(tmp, "w") as f:

@@ -258,3 +258,19 @@ def test_store_index_kind_dispatch_ivf(tmp_path):
 
     with pytest.raises(ValueError, match="kind"):
         build_store_index(store, str(tmp_path / "bad"), kind="flat")
+
+
+def test_store_dim_mismatch_refused(tmp_path):
+    # re-upserting with a different embedding dim must fail BEFORE any
+    # partition merge (mixed-dim partitions would poison every query)
+    chunks = rd.from_pandas(pd.DataFrame({
+        "chunk_id": ["a", "b"],
+        "structured_text": ["alpha beta", "gamma delta"],
+        "kind": ["text", "text"],
+    }))
+    store = str(tmp_path / "store")
+    upsert_chunks(chunks, store, dim=32, n_partitions=2, concurrency=1)
+    with pytest.raises(ValueError, match="dim"):
+        upsert_chunks(chunks, store, dim=64, n_partitions=2, concurrency=1)
+    # same dim re-upsert remains fine (idempotent)
+    upsert_chunks(chunks, store, dim=32, n_partitions=2, concurrency=1)

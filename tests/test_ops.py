@@ -530,3 +530,26 @@ def test_prefix_scan_quantile_buckets_skewed_key():
     assert counts.max() <= 0.5 * n
     fixed = np.bincount(df["k"].to_numpy() // 65536)
     assert fixed.max() >= 0.98 * n  # the failure mode quantiles fix
+
+
+def test_late_event_stats_counts():
+    from agentic_rag_for_multi_model_pdf_extraction_ray.ops.window import (
+        late_event_stats,
+    )
+
+    base = pd.Timestamp("2024-01-01 10:00:00")
+    rows = pd.DataFrame({
+        "arrival": [0, 1, 2, 3, 4, 5],
+        "ts": [base, base + pd.Timedelta(hours=3),
+               base + pd.Timedelta(hours=2),
+               base + pd.Timedelta(hours=1),
+               base - pd.Timedelta(hours=1),
+               base + pd.Timedelta(hours=3, minutes=30)],
+        "event_type": ["x"] * 6,
+        "value": [1.0, 2.0, 4.0, 8.0, 16.0, 32.0],
+    })
+    ds = rd.from_pandas(rows).repartition(3)
+    s = late_event_stats(ds, "arrival", lateness_sec=2 * 3600, bucket_width=2)
+    assert s["n_total"] == 6
+    assert s["n_late"] == 1            # only the 4h-late straggler
+    assert s["max_lateness_sec"] == 4 * 3600.0
