@@ -259,6 +259,26 @@ def watermarked_tumbling_window(events: rd.Dataset, key: str = "event_type",
     return tumbling_window(on_time, key=key, freq=freq)
 
 
+def watermarked_hopping_window(events: rd.Dataset, key: str = "event_type",
+                               window_sec: int = 3600, hop_sec: int = 900,
+                               arrival_col: str = "arrival",
+                               ts_col: str = "ts",
+                               lateness_sec: int = 3600,
+                               bucket_width: int = 65536) -> rd.Dataset:
+    """Hopping (sliding) count+sum windows over only the events that
+    survive the :func:`late_event_filter` watermark — the sliding
+    sibling of :func:`watermarked_tumbling_window`, completing the
+    allowed-lateness surface (tumbling + hopping) for batch replays of
+    streaming logs.  Same pipeline shape: one prefix-scan watermark
+    pass, a vectorized filter, then the ×(window/hop) explode with
+    map-side combine — nothing corpus-sized touches the driver."""
+    on_time = late_event_filter(events, arrival_col, ts_col=ts_col,
+                                lateness_sec=lateness_sec,
+                                bucket_width=bucket_width)
+    return hopping_window(on_time, key=key, window_sec=window_sec,
+                          hop_sec=hop_sec)
+
+
 def late_event_stats(events: rd.Dataset, arrival_col: str,
                      ts_col: str = "ts", lateness_sec: int = 3600,
                      bucket_width: int = 65536) -> dict:

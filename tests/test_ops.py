@@ -489,6 +489,46 @@ def test_late_event_filter_watermark_semantics():
     assert agg["sum_value"].tolist() == [1.0, 8.0, 4.0, 34.0]
 
 
+def test_watermarked_hopping_window():
+    # sliding sibling of the tumbling test above: same survivors
+    # (lateness 2h drops only the 4h-late straggler), then 1h windows
+    # hopping every 30min — each survivor lands in exactly 2 windows
+    from agentic_rag_for_multi_model_pdf_extraction_ray.ops.window import (
+        watermarked_hopping_window,
+    )
+
+    base = pd.Timestamp("2024-01-01 10:00:00")
+    rows = pd.DataFrame({
+        "arrival": [0, 1, 2, 3, 4, 5],
+        "ts": [base, base + pd.Timedelta(hours=3),
+               base + pd.Timedelta(hours=2),
+               base + pd.Timedelta(hours=1),
+               base - pd.Timedelta(hours=1),      # 4h late -> dropped
+               base + pd.Timedelta(hours=3, minutes=30)],
+        "event_type": ["x"] * 6,
+        "value": [1.0, 2.0, 4.0, 8.0, 16.0, 32.0],
+    })
+    ds = rd.from_pandas(rows).repartition(3)
+
+    agg = (watermarked_hopping_window(ds, window_sec=3600, hop_sec=1800,
+                                      lateness_sec=2 * 3600, bucket_width=2)
+           .to_pandas().sort_values("window_start"))
+
+    # pandas oracle over the survivor set
+    surv = rows[rows["value"] != 16.0]
+    t0 = int(base.timestamp())
+    want = {}
+    for _, r in surv.iterrows():
+        s = int(r["ts"].timestamp()) // 1800 * 1800
+        for start in (s - 1800, s):
+            n, sv = want.get(start, (0, 0.0))
+            want[start] = (n + 1, sv + r["value"])
+    assert dict(zip(agg["window_start"],
+                    zip(agg["n"], agg["sum_value"]))) == want
+    # the 13:00 window holds both the 13:00 and 13:30 events
+    assert want[t0 + 3 * 3600] == (2, 34.0)
+
+
 def test_prefix_scan_quantile_buckets_skewed_key():
     # a pathologically skewed order key (99% of rows in [0,100], a few
     # huge outliers) puts everything in ONE fixed-width bucket; the
