@@ -355,19 +355,30 @@ def build_ivf_index_store(ds: rd.Dataset, index_dir: str, n_centroids: int = 64,
 
 
 def query_ivf_index(index_dir: str, query_vec: np.ndarray, k: int = 10,
-                    nprobe: int = 4, exclude_ids: set | None = None,
+                    nprobe: int | None = 4, exclude_ids: set | None = None,
                     filter_fn=None):
     """Top-k against a persisted IVF index: scan only the ``nprobe``
     nearest centroids' partitions.  Returns (hits, stats).
     ``filter_fn`` (pandas batch → batch) pre-filters candidates, e.g.
     a ``kind`` metadata filter — same contract as
-    :func:`query_lsh_index`."""
+    :func:`query_lsh_index`.
+
+    ``nprobe=None`` uses the recommendation persisted by
+    :func:`tune_ivf_nprobe` in ``_TUNING.json`` (fallback 4 if the
+    index was never tuned).  Stats include ``rows_scanned`` (from
+    parquet footers — no data read) so callers can audit pruning."""
     import json
     import os
 
     with open(os.path.join(index_dir, "_INDEX.json")) as f:
         meta = json.load(f)
     _check_token_hash(meta, index_dir)
+    if nprobe is None:
+        nprobe = 4
+        tpath = os.path.join(index_dir, "_TUNING.json")
+        if os.path.isfile(tpath):
+            with open(tpath) as f:
+                nprobe = int(json.load(f).get("recommended_nprobe", 4))
     C = np.asarray(meta["centroids"], dtype=np.float64)
     q = np.asarray(query_vec, dtype=np.float64)
     q = q / (np.linalg.norm(q) or 1.0)
@@ -378,8 +389,12 @@ def query_ivf_index(index_dir: str, query_vec: np.ndarray, k: int = 10,
         path = os.path.join(index_dir, f"part={b}", "data.parquet")
         if os.path.isfile(path):
             files.append(path)
+    import pyarrow.parquet as pq
+
+    rows_scanned = sum(pq.ParquetFile(p).metadata.num_rows for p in files)
     stats = {"buckets_total": len(C), "buckets_probed": len(probe),
-             "files_read": len(files), "paths": files}
+             "files_read": len(files), "rows_scanned": rows_scanned,
+             "nprobe": int(nprobe), "paths": files}
     if not files:
         return pd.DataFrame({meta["id_col"]: [], "score": []}), stats
     cand = rd.read_parquet(files)
@@ -388,6 +403,70 @@ def query_ivf_index(index_dir: str, query_vec: np.ndarray, k: int = 10,
     hits = knn_bruteforce(cand, query_vec, k, meta["id_col"], meta["vec_col"],
                           exclude_ids=exclude_ids)
     return hits, stats
+
+
+def tune_ivf_nprobe(ds: rd.Dataset, index_dir: str, query_vecs: np.ndarray,
+                    k: int = 10, nprobes=(1, 2, 4, 8, 16),
+                    target_recall: float = 0.95,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    persist: bool = True) -> pd.DataFrame:
+    """Recall@k sweep for the IVF ``nprobe`` knob (the FAISS-style
+    recall/latency dial).
+
+    Ground truth is ONE distributed multi-query brute-force pass over
+    ``ds`` (:func:`knn_multi_query` — a GEMM per batch against the
+    broadcast query matrix; nothing corpus-sized on the driver).  Each
+    sweep row then probes the persisted index per query and reports::
+
+        nprobe, recall_at_k, mean_rows_scanned, frac_rows, wall_sec
+
+    where ``frac_rows`` is the mean fraction of the corpus the probe
+    actually scanned (from parquet footers).  With ``persist`` the
+    sweep plus ``recommended_nprobe`` — the smallest nprobe whose
+    recall ≥ ``target_recall`` (else the best measured) — is written
+    to ``<index_dir>/_TUNING.json``, which ``query_ivf_index(...,
+    nprobe=None)`` reads at query time.
+
+    Tuning cost is Q × len(nprobes) driver-orchestrated probes — size
+    Q to tens; the ground-truth pass is the only corpus-wide work.
+    """
+    import json
+    import os
+    import time
+
+    Q = np.asarray(query_vecs, dtype=np.float64)
+    gt = knn_multi_query(ds, Q, k=k, id_col=id_col, vec_col=vec_col)
+    gt_sets = {int(qi): set(g[id_col]) for qi, g in gt.groupby("query_idx")}
+    total_rows = ds.count()
+
+    rows = []
+    for npb in nprobes:
+        t0 = time.perf_counter()
+        recs, scanned = [], []
+        for qi in range(len(Q)):
+            truth = gt_sets.get(qi, set())
+            hits, stats = query_ivf_index(index_dir, Q[qi], k=k, nprobe=npb)
+            recs.append(len(set(hits[id_col]) & truth) / max(1, len(truth)))
+            scanned.append(stats["rows_scanned"])
+        rows.append({
+            "nprobe": int(npb),
+            "recall_at_k": float(np.mean(recs)),
+            "mean_rows_scanned": float(np.mean(scanned)),
+            "frac_rows": float(np.mean(scanned) / max(1, total_rows)),
+            "wall_sec": time.perf_counter() - t0,
+        })
+    sweep = pd.DataFrame(rows)
+
+    ok = sweep[sweep["recall_at_k"] >= target_recall]
+    rec = int(ok["nprobe"].min()) if len(ok) else int(
+        sweep.loc[sweep["recall_at_k"].idxmax(), "nprobe"])
+    if persist:
+        with open(os.path.join(index_dir, "_TUNING.json"), "w") as f:
+            json.dump({"recommended_nprobe": rec, "k": k,
+                       "target_recall": target_recall,
+                       "n_queries": int(len(Q)),
+                       "sweep": sweep.to_dict(orient="records")}, f)
+    return sweep
 
 
 def query_index(index_dir: str, query_vec: np.ndarray, k: int = 10,
@@ -405,10 +484,13 @@ def query_index(index_dir: str, query_vec: np.ndarray, k: int = 10,
     with open(os.path.join(index_dir, "_INDEX.json")) as f:
         kind = json.load(f).get("kind", "lsh")
     if kind == "ivf":
-        # radius-R LSH multiprobe reads O(n_bits^R) buckets; map the
-        # same knob to "that many nearest centroids" (min 1)
+        # a persisted tune_ivf_nprobe recommendation beats the generic
+        # knob mapping; else radius-R LSH multiprobe reads O(n_bits^R)
+        # buckets, so map the same knob to "that many nearest
+        # centroids" (min 1)
+        tuned = os.path.isfile(os.path.join(index_dir, "_TUNING.json"))
         return query_ivf_index(index_dir, query_vec, k,
-                               nprobe=max(1, n_probes * 2),
+                               nprobe=None if tuned else max(1, n_probes * 2),
                                exclude_ids=exclude_ids, filter_fn=filter_fn)
     return query_lsh_index(index_dir, query_vec, k, n_probes=n_probes,
                            exclude_ids=exclude_ids, filter_fn=filter_fn)

@@ -79,6 +79,43 @@ def test_ivf_index_prunes_and_full_probe_exact(tmp_path):
     assert hits_all["vec_id"].tolist() == brute["vec_id"].tolist()
 
 
+def test_ivf_nprobe_tuning(tmp_path):
+    from agentic_rag_for_multi_model_pdf_extraction_ray.ops.similarity import (
+        build_ivf_index_store,
+        query_index,
+        query_ivf_index,
+        tune_ivf_nprobe,
+    )
+
+    M, ds = _vectors(n=400, d=24, seed=9)
+    idx = str(tmp_path / "ivf")
+    build_ivf_index_store(ds, idx, n_centroids=16)
+
+    sweep = tune_ivf_nprobe(ds, idx, M[:8], k=5, nprobes=(1, 2, 4, 16),
+                            target_recall=0.95)
+    # recall is monotone nondecreasing in nprobe, exact at full probe
+    r = sweep.sort_values("nprobe")["recall_at_k"].to_numpy()
+    assert np.all(np.diff(r) >= -1e-9)
+    assert r[-1] == 1.0
+    # pruning visible: fewer rows scanned at nprobe=1 than full probe
+    f = sweep.sort_values("nprobe")["frac_rows"].to_numpy()
+    assert f[0] < f[-1] == 1.0
+
+    # persisted recommendation = smallest nprobe reaching the target,
+    # and nprobe=None routes through it
+    tuning = json.load(open(os.path.join(idx, "_TUNING.json")))
+    rec = tuning["recommended_nprobe"]
+    assert rec == int(sweep[sweep["recall_at_k"] >= 0.95]["nprobe"].min())
+    hits, stats = query_ivf_index(idx, M[7], k=5, nprobe=None)
+    assert stats["nprobe"] == rec and len(hits) == 5
+    assert stats["rows_scanned"] >= len(hits)
+
+    # the kind dispatcher prefers the tuned value over its knob mapping
+    hits2, stats2 = query_index(idx, M[7], k=5, n_probes=1)
+    assert stats2["nprobe"] == rec
+    assert hits2["vec_id"].tolist() == hits["vec_id"].tolist()
+
+
 def _chunks(texts):
     return rd.from_pandas(pd.DataFrame({
         "chunk_id": list(texts),
