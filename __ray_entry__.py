@@ -1236,6 +1236,37 @@ def _q_watermark_window(sf_dir: str):
     return df[["event_type", "window_start", "n", "sum_value"]]
 
 
+def _q_watermark_hopping(sf_dir: str):
+    """Sliding sibling of :func:`_q_watermark_window`: same jittered
+    arrival order and 2h allowed lateness, then 1h windows hopping
+    every 30min (each survivor lands in exactly 2 windows).  The
+    DuckDB oracle replays the watermark window function and the ×2
+    explode as a CROSS JOIN over hop offsets."""
+    import pyarrow.compute as pc
+
+    from agentic_rag_for_multi_model_pdf_extraction_ray.ops.window import (
+        watermarked_hopping_window,
+    )
+    from agentic_rag_for_multi_model_pdf_extraction_ray.sources.corpus import (
+        read_table,
+    )
+
+    ev = read_table(sf_dir, "events",
+                    columns=["event_id", "ts", "event_type", "value"])
+
+    def add_arrival(t):
+        e = t.column("event_id")
+        arr = pc.add(e, pc.multiply(pc.subtract(
+            e, pc.multiply(pc.divide(e, 10), 10)), 50))
+        return t.append_column("arrival", arr)
+
+    df = watermarked_hopping_window(
+        ev.map_batches(add_arrival, batch_format="pyarrow"),
+        key="event_type", window_sec=3600, hop_sec=1800,
+        arrival_col="arrival", lateness_sec=7200).to_pandas()
+    return df[["event_type", "window_start", "n", "sum_value"]]
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """One entry per implemented pipeline/operator (SURVEY.md section 2).
 
@@ -1294,10 +1325,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_knn_ivf_full": _q_knn_ivf_full,
         "q_cosine_pairs_lsh": _q_cosine_pairs_lsh,
         "q_watermark_window": _q_watermark_window,
+        "q_watermark_hopping": _q_watermark_hopping,
         # --- rows-only (no SQL equivalent; pytest holds the strict gate) ---
-        "q_extract_documents": _q_extract_documents,
         "q_minhash_clusters": _q_minhash_clusters,
         # --- past the driver's 50-row recording window ---
+        # q_extract_documents: the same flagship pipeline is already
+        # smoke-checked by entry() every round, so its rows-only slot
+        # yielded to the oracled q_watermark_hopping
+        "q_extract_documents": _q_extract_documents,
         "q_kind_histogram": _q_kind_histogram,  # redundant with oracled q_source_histogram
         "q_simhash_pairs": _q_simhash_pairs,
         "q_extract_spans": _q_extract_spans,
@@ -1583,6 +1618,25 @@ def oracle_sql() -> dict[str, str]:
             FROM w
             WHERE epoch_us(ts) >= wm - CAST(7200 AS BIGINT) * 1000000
             GROUP BY event_type, date_trunc('hour', ts)
+        """,
+        "q_watermark_hopping": """
+            WITH w AS (
+              SELECT event_type, ts, value,
+                     max(epoch_us(ts)) OVER (
+                       ORDER BY event_id + (event_id % 10) * 50
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     ) AS wm
+              FROM events),
+            surv AS (
+              SELECT event_type, ts, value FROM w
+              WHERE epoch_us(ts) >= wm - CAST(7200 AS BIGINT) * 1000000)
+            SELECT event_type,
+                   CAST((CAST(floor(epoch(ts) / 1800) AS BIGINT) - g.i) * 1800
+                        AS BIGINT) AS window_start,
+                   count(*) AS n,
+                   sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) / 100.0 AS sum_value
+            FROM surv CROSS JOIN (SELECT unnest(range(2)) AS i) g
+            GROUP BY event_type, window_start
         """,
         "q_ngram_jaccard_exact": r"""
             WITH toks AS (
