@@ -6,8 +6,10 @@ subcommands).
         --input <documents_raw parquet dir> --out /tmp/out [--resume]
     python -m agentic_rag_for_multi_model_pdf_extraction_ray synth \
         --n-docs 1000 --out /tmp/corpus
+    python -m agentic_rag_for_multi_model_pdf_extraction_ray index \
+        --chunks <extraction out dir> --out /tmp/idx --kind ivf --tune 16
     python -m agentic_rag_for_multi_model_pdf_extraction_ray query \
-        --chunks <extraction out dir> "question text"
+        --chunks <extraction out dir> "question text" [--routed --index /tmp/idx]
     python -m agentic_rag_for_multi_model_pdf_extraction_ray pipeline \
         --input <corpus> --out /tmp/out "question text"
 
@@ -109,6 +111,59 @@ def cmd_query(args) -> None:
     ray.shutdown()
 
 
+def cmd_index(args) -> None:
+    """Build a persisted ANN index (LSH or IVF) over an extraction
+    output, so ``query --routed --index`` probes only bucket
+    partitions.  The chunk/embedding recompute is the same
+    deterministic path ``cmd_query`` uses, so ids and vectors match.
+    ``--tune N`` (IVF only) runs the recall@k nprobe sweep with N
+    corpus vectors as queries and persists the recommendation the
+    query dispatcher picks up."""
+    ray = _ray_session()
+    import numpy as np
+    import ray.data as rd
+
+    from .ops.similarity import (
+        build_ivf_index_store,
+        build_lsh_index_store,
+        tune_ivf_nprobe,
+    )
+    from .stages.chunk import transform_chunks
+    from .stages.embed import embed
+    from .stages.reassemble import explode_spans_batch
+    from .state.manifest import read_output
+
+    docs = read_output(args.chunks)
+    chunks = transform_chunks(rd.from_arrow(explode_spans_batch(docs)),
+                              mode="direct")
+    with_vecs = embed(chunks, dim=args.dim, concurrency=2)
+    if args.kind == "ivf" and args.tune:
+        # the tuner's ground-truth pass re-reads the dataset; pin the
+        # embedded blocks once instead of re-running the embed stage
+        with_vecs = with_vecs.materialize()
+    if args.kind == "ivf":
+        parts = build_ivf_index_store(with_vecs, args.out,
+                                      n_centroids=args.n_centroids,
+                                      id_col="chunk_id",
+                                      vec_col="embedding")
+    else:
+        parts = build_lsh_index_store(with_vecs, args.out,
+                                      n_bits=args.n_bits,
+                                      id_col="chunk_id",
+                                      vec_col="embedding")
+    info = {"kind": args.kind, "partitions": len(parts),
+            "rows": int(sum(r["rows"] for r in parts)), "out": args.out}
+    if args.kind == "ivf" and args.tune:
+        Q = np.stack(with_vecs.limit(args.tune)
+                     .to_pandas()["embedding"].to_numpy())
+        tune_ivf_nprobe(with_vecs, args.out, Q, k=args.k,
+                        id_col="chunk_id", vec_col="embedding")
+        with open(os.path.join(args.out, "_TUNING.json")) as f:
+            info["recommended_nprobe"] = json.load(f)["recommended_nprobe"]
+    print(json.dumps(info))
+    ray.shutdown()
+
+
 def cmd_pipeline(args) -> None:
     ns = argparse.Namespace(
         input=args.input, out=args.out, partitions=args.partitions,
@@ -155,6 +210,21 @@ def main(argv=None) -> None:
                           "metadata): routed retrieval probes only its "
                           "partitions")
     pq_.set_defaults(fn=cmd_query)
+
+    px = sub.add_parser("index", help="build a persisted ANN index "
+                                      "(LSH or IVF) over extracted chunks")
+    px.add_argument("--chunks", required=True,
+                    help="extraction output dir (ingest --out)")
+    px.add_argument("--out", required=True, help="index dir to write")
+    px.add_argument("--kind", choices=("lsh", "ivf"), default="lsh")
+    px.add_argument("--dim", type=int, default=384)
+    px.add_argument("--n-bits", type=int, default=6, help="LSH hyperplanes")
+    px.add_argument("--n-centroids", type=int, default=64, help="IVF lists")
+    px.add_argument("--tune", type=int, default=0, metavar="N",
+                    help="IVF: sweep nprobe with N corpus vectors as "
+                         "queries; persists recommended_nprobe")
+    px.add_argument("--k", type=int, default=10, help="recall@k for --tune")
+    px.set_defaults(fn=cmd_index)
 
     pp = sub.add_parser("pipeline", help="ingest then query")
     pp.add_argument("question")

@@ -97,3 +97,25 @@ def test_cli_synth_ingest_resume(tmp_path):
     res2 = json.loads(r.stdout.strip().splitlines()[-1])
     assert res2["partitions_written"] == 0
     assert res2["partitions_complete"] == 8
+
+    # build + tune an IVF index over the extraction, then query through it
+    idx = str(tmp_path / "idx")
+    r = subprocess.run(
+        [sys.executable, "-m", "agentic_rag_for_multi_model_pdf_extraction_ray",
+         "index", "--chunks", out, "--out", idx, "--kind", "ivf",
+         "--dim", "64", "--n-centroids", "8", "--tune", "4", "--k", "5"],
+        capture_output=True, text=True, cwd="/root/repo", env=env,
+    )
+    assert r.returncode == 0, r.stderr[-500:]
+    built = json.loads(r.stdout.strip().splitlines()[-1])
+    assert built["rows"] > 0 and built["recommended_nprobe"] >= 1
+
+    r = subprocess.run(
+        [sys.executable, "-m", "agentic_rag_for_multi_model_pdf_extraction_ray",
+         "query", "alpha beta table", "--chunks", out, "--dim", "64",
+         "--routed", "--index", idx],
+        capture_output=True, text=True, cwd="/root/repo", env=env,
+    )
+    assert r.returncode == 0, r.stderr[-500:]
+    # stdout is the answer JSON truncated to 2000 chars (display sink)
+    assert '"answer"' in r.stdout
