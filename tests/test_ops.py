@@ -489,6 +489,41 @@ def test_late_event_filter_watermark_semantics():
     assert agg["sum_value"].tolist() == [1.0, 8.0, 4.0, 34.0]
 
 
+@pytest.mark.parametrize("seed", [0, 7, 23])
+def test_late_event_filter_randomized_oracle(seed):
+    # randomized arrival orders with heavy jitter, duplicate event
+    # times and watermark ties vs the pandas cummax oracle — the
+    # distributed prefix-scan watermark must match exactly
+    from agentic_rag_for_multi_model_pdf_extraction_ray.ops.window import (
+        late_event_filter,
+    )
+
+    rng = np.random.RandomState(seed)
+    n = 300
+    base_us = 1_700_000_000 * 1_000_000
+    # event times: random walk with duplicates (whole seconds)
+    ts_us = base_us + np.sort(
+        rng.randint(0, 48 * 3600, n)).astype(np.int64) * 1_000_000
+    # arrival: event order with jitter up to ±40 positions
+    arrival = np.argsort(np.arange(n) + rng.randint(-40, 40, n),
+                         kind="stable").argsort().astype(np.int64)
+    df = pd.DataFrame({
+        "arrival": arrival,
+        "ts": pd.to_datetime(ts_us, unit="us"),
+        "eid": np.arange(n),
+    })
+    lateness = int(rng.choice([0, 1, 3600, 7200]))
+
+    kept = late_event_filter(
+        rd.from_pandas(df.sample(frac=1.0, random_state=rng)).repartition(5),
+        "arrival", lateness_sec=lateness, bucket_width=64).to_pandas()
+
+    o = df.sort_values("arrival")
+    wm = o["ts"].astype("int64").cummax()  # ns
+    surv = o[o["ts"].astype("int64") >= wm - lateness * 1_000_000_000]
+    assert sorted(kept["eid"].tolist()) == sorted(surv["eid"].tolist())
+
+
 def test_watermarked_hopping_window():
     # sliding sibling of the tumbling test above: same survivors
     # (lateness 2h drops only the 4h-late straggler), then 1h windows
