@@ -116,9 +116,9 @@ def cmd_index(args) -> None:
     output, so ``query --routed --index`` probes only bucket
     partitions.  The chunk/embedding recompute is the same
     deterministic path ``cmd_query`` uses, so ids and vectors match.
-    ``--tune N`` (IVF only) runs the recall@k nprobe sweep with N
-    corpus vectors as queries and persists the recommendation the
-    query dispatcher picks up."""
+    ``--tune N`` runs the recall@k probe-knob sweep (IVF nprobe /
+    LSH Hamming radius) with N corpus vectors as queries and persists
+    the recommendation the query dispatcher picks up."""
     ray = _ray_session()
     import numpy as np
     import ray.data as rd
@@ -127,6 +127,7 @@ def cmd_index(args) -> None:
         build_ivf_index_store,
         build_lsh_index_store,
         tune_ivf_nprobe,
+        tune_lsh_nprobes,
     )
     from .stages.chunk import transform_chunks
     from .stages.embed import embed
@@ -137,7 +138,7 @@ def cmd_index(args) -> None:
     chunks = transform_chunks(rd.from_arrow(explode_spans_batch(docs)),
                               mode="direct")
     with_vecs = embed(chunks, dim=args.dim, concurrency=2)
-    if args.kind == "ivf" and args.tune:
+    if args.tune:
         # the tuner's ground-truth pass re-reads the dataset; pin the
         # embedded blocks once instead of re-running the embed stage
         with_vecs = with_vecs.materialize()
@@ -153,13 +154,19 @@ def cmd_index(args) -> None:
                                       vec_col="embedding")
     info = {"kind": args.kind, "partitions": len(parts),
             "rows": int(sum(r["rows"] for r in parts)), "out": args.out}
-    if args.kind == "ivf" and args.tune:
+    if args.tune:
         Q = np.stack(with_vecs.limit(args.tune)
                      .to_pandas()["embedding"].to_numpy())
-        tune_ivf_nprobe(with_vecs, args.out, Q, k=args.k,
-                        id_col="chunk_id", vec_col="embedding")
+        if args.kind == "ivf":
+            tune_ivf_nprobe(with_vecs, args.out, Q, k=args.k,
+                            id_col="chunk_id", vec_col="embedding")
+            rec_key = "recommended_nprobe"
+        else:
+            tune_lsh_nprobes(with_vecs, args.out, Q, k=args.k,
+                             id_col="chunk_id", vec_col="embedding")
+            rec_key = "recommended_n_probes"
         with open(os.path.join(args.out, "_TUNING.json")) as f:
-            info["recommended_nprobe"] = json.load(f)["recommended_nprobe"]
+            info[rec_key] = json.load(f)[rec_key]
     print(json.dumps(info))
     ray.shutdown()
 
@@ -221,8 +228,10 @@ def main(argv=None) -> None:
     px.add_argument("--n-bits", type=int, default=6, help="LSH hyperplanes")
     px.add_argument("--n-centroids", type=int, default=64, help="IVF lists")
     px.add_argument("--tune", type=int, default=0, metavar="N",
-                    help="IVF: sweep nprobe with N corpus vectors as "
-                         "queries; persists recommended_nprobe")
+                    help="sweep the probe knob (IVF nprobe / LSH "
+                         "Hamming radius) with N corpus vectors as "
+                         "queries; persists the recommendation the "
+                         "query dispatcher picks up")
     px.add_argument("--k", type=int, default=10, help="recall@k for --tune")
     px.set_defaults(fn=cmd_index)
 

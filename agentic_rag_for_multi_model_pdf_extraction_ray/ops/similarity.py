@@ -221,20 +221,29 @@ def _check_token_hash(meta: dict, index_dir: str) -> None:
 
 
 def query_lsh_index(index_dir: str, query_vec: np.ndarray, k: int = 10,
-                    n_probes: int = 2, exclude_ids: set | None = None,
+                    n_probes: int | None = 2, exclude_ids: set | None = None,
                     filter_fn=None):
     """Top-k against a persisted LSH index, reading ONLY probed
     buckets' parquet files (multiprobe: all buckets within Hamming
     ``n_probes`` of the query's bucket).
 
     Returns ``(hits, stats)`` where stats records exactly which files
-    were read — the partition-pruning evidence."""
+    were read and how many rows they hold (parquet footers — no data
+    read) — the partition-pruning evidence.  ``n_probes=None`` uses
+    the recommendation persisted by :func:`tune_lsh_nprobes` in
+    ``_TUNING.json`` (fallback 2 if untuned)."""
     import json
     import os
 
     with open(os.path.join(index_dir, "_INDEX.json")) as f:
         meta = json.load(f)
     _check_token_hash(meta, index_dir)
+    if n_probes is None:
+        n_probes = 2
+        tpath = os.path.join(index_dir, "_TUNING.json")
+        if os.path.isfile(tpath):
+            with open(tpath) as f:
+                n_probes = int(json.load(f).get("recommended_n_probes", 2))
     n_bits, seed = meta["n_bits"], meta["seed"]
     q = np.asarray(query_vec, dtype=np.float64)
     q = q / (np.linalg.norm(q) or 1.0)
@@ -249,10 +258,15 @@ def query_lsh_index(index_dir: str, query_vec: np.ndarray, k: int = 10,
         path = os.path.join(index_dir, f"part={b}", "data.parquet")
         if os.path.isfile(path):
             files.append(path)
+    import pyarrow.parquet as pq
+
     stats = {
         "buckets_total": 1 << n_bits,
         "buckets_probed": len(probe),
         "files_read": len(files),
+        "rows_scanned": sum(pq.ParquetFile(p).metadata.num_rows
+                            for p in files),
+        "n_probes": int(n_probes),
         "paths": files,
     }
     if not files:
@@ -430,6 +444,37 @@ def tune_ivf_nprobe(ds: rd.Dataset, index_dir: str, query_vecs: np.ndarray,
     Tuning cost is Q × len(nprobes) driver-orchestrated probes — size
     Q to tens; the ground-truth pass is the only corpus-wide work.
     """
+    return _tune_probe_sweep(
+        ds, index_dir, query_vecs, k, nprobes, target_recall,
+        id_col, vec_col, persist, knob="nprobe",
+        rec_key="recommended_nprobe",
+        probe_fn=lambda q, pv: query_ivf_index(index_dir, q, k=k, nprobe=pv))
+
+
+def tune_lsh_nprobes(ds: rd.Dataset, index_dir: str, query_vecs: np.ndarray,
+                     k: int = 10, n_probes_list=(0, 1, 2, 3),
+                     target_recall: float = 0.95,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     persist: bool = True) -> pd.DataFrame:
+    """LSH sibling of :func:`tune_ivf_nprobe`: sweep the Hamming
+    multiprobe radius against the same one-pass brute-force ground
+    truth.  Persists ``recommended_n_probes`` (smallest radius whose
+    recall ≥ ``target_recall``) to ``_TUNING.json``, consumed by
+    ``query_lsh_index(n_probes=None)`` and the kind dispatcher.
+    Radius ``n_bits`` probes every bucket = exact."""
+    return _tune_probe_sweep(
+        ds, index_dir, query_vecs, k, n_probes_list, target_recall,
+        id_col, vec_col, persist, knob="n_probes",
+        rec_key="recommended_n_probes",
+        probe_fn=lambda q, pv: query_lsh_index(index_dir, q, k=k,
+                                               n_probes=pv))
+
+
+def _tune_probe_sweep(ds, index_dir, query_vecs, k, probe_values,
+                      target_recall, id_col, vec_col, persist,
+                      knob, rec_key, probe_fn) -> pd.DataFrame:
+    """Shared recall@k sweep: ONE distributed ground-truth pass, then
+    Q × len(probe_values) driver-orchestrated index probes."""
     import json
     import os
     import time
@@ -440,16 +485,16 @@ def tune_ivf_nprobe(ds: rd.Dataset, index_dir: str, query_vecs: np.ndarray,
     total_rows = ds.count()
 
     rows = []
-    for npb in nprobes:
+    for pv in probe_values:
         t0 = time.perf_counter()
         recs, scanned = [], []
         for qi in range(len(Q)):
             truth = gt_sets.get(qi, set())
-            hits, stats = query_ivf_index(index_dir, Q[qi], k=k, nprobe=npb)
+            hits, stats = probe_fn(Q[qi], pv)
             recs.append(len(set(hits[id_col]) & truth) / max(1, len(truth)))
             scanned.append(stats["rows_scanned"])
         rows.append({
-            "nprobe": int(npb),
+            knob: int(pv),
             "recall_at_k": float(np.mean(recs)),
             "mean_rows_scanned": float(np.mean(scanned)),
             "frac_rows": float(np.mean(scanned) / max(1, total_rows)),
@@ -458,11 +503,11 @@ def tune_ivf_nprobe(ds: rd.Dataset, index_dir: str, query_vecs: np.ndarray,
     sweep = pd.DataFrame(rows)
 
     ok = sweep[sweep["recall_at_k"] >= target_recall]
-    rec = int(ok["nprobe"].min()) if len(ok) else int(
-        sweep.loc[sweep["recall_at_k"].idxmax(), "nprobe"])
+    rec = int(ok[knob].min()) if len(ok) else int(
+        sweep.loc[sweep["recall_at_k"].idxmax(), knob])
     if persist:
         with open(os.path.join(index_dir, "_TUNING.json"), "w") as f:
-            json.dump({"recommended_nprobe": rec, "k": k,
+            json.dump({rec_key: rec, "k": k,
                        "target_recall": target_recall,
                        "n_queries": int(len(Q)),
                        "sweep": sweep.to_dict(orient="records")}, f)
@@ -476,8 +521,11 @@ def query_index(index_dir: str, query_vec: np.ndarray, k: int = 10,
     ``_INDEX.json`` ``kind`` field ("ivf" → centroid partitions,
     default → sign-LSH buckets).  ``n_probes`` means Hamming radius
     for LSH and nearest-centroid count for IVF — both bound how many
-    partitions are read.  Returns (hits, stats) like the per-kind
-    query functions."""
+    partitions are read.  If the index carries a ``_TUNING.json``
+    (written by :func:`tune_ivf_nprobe` / :func:`tune_lsh_nprobes`),
+    its measured recommendation supersedes ``n_probes`` — call the
+    per-kind query function directly to force a specific radius.
+    Returns (hits, stats) like the per-kind query functions."""
     import json
     import os
 
@@ -492,7 +540,9 @@ def query_index(index_dir: str, query_vec: np.ndarray, k: int = 10,
         return query_ivf_index(index_dir, query_vec, k,
                                nprobe=None if tuned else max(1, n_probes * 2),
                                exclude_ids=exclude_ids, filter_fn=filter_fn)
-    return query_lsh_index(index_dir, query_vec, k, n_probes=n_probes,
+    tuned = os.path.isfile(os.path.join(index_dir, "_TUNING.json"))
+    return query_lsh_index(index_dir, query_vec, k,
+                           n_probes=None if tuned else n_probes,
                            exclude_ids=exclude_ids, filter_fn=filter_fn)
 
 

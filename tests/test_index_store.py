@@ -116,6 +116,36 @@ def test_ivf_nprobe_tuning(tmp_path):
     assert hits2["vec_id"].tolist() == hits["vec_id"].tolist()
 
 
+def test_lsh_nprobes_tuning(tmp_path):
+    from agentic_rag_for_multi_model_pdf_extraction_ray.ops.similarity import (
+        query_index,
+        tune_lsh_nprobes,
+    )
+
+    M, ds = _vectors(n=400, d=24, seed=9)
+    idx = str(tmp_path / "lsh")
+    build_lsh_index_store(ds, idx, n_bits=4)
+
+    sweep = tune_lsh_nprobes(ds, idx, M[:8], k=5, n_probes_list=(0, 1, 2, 4),
+                             target_recall=0.95)
+    r = sweep.sort_values("n_probes")["recall_at_k"].to_numpy()
+    f = sweep.sort_values("n_probes")["frac_rows"].to_numpy()
+    assert np.all(np.diff(r) >= -1e-9)
+    # radius n_bits probes every bucket = exact, full scan
+    assert r[-1] == 1.0 and f[-1] == 1.0 and f[0] < 1.0
+
+    tuning = json.load(open(os.path.join(idx, "_TUNING.json")))
+    rec = tuning["recommended_n_probes"]
+    assert rec == int(sweep[sweep["recall_at_k"] >= 0.95]["n_probes"].min())
+    hits, stats = query_lsh_index(idx, M[7], k=5, n_probes=None)
+    assert stats["n_probes"] == rec and len(hits) == 5
+
+    # dispatcher prefers the tuned radius for LSH too
+    hits2, stats2 = query_index(idx, M[7], k=5, n_probes=0)
+    assert stats2["n_probes"] == rec
+    assert hits2["vec_id"].tolist() == hits["vec_id"].tolist()
+
+
 def _chunks(texts):
     return rd.from_pandas(pd.DataFrame({
         "chunk_id": list(texts),
