@@ -229,6 +229,181 @@ def asof_join_bucketed(
     return rows.groupby("bk").map_groups(per_bucket, batch_format="pyarrow")
 
 
+def range_join_broadcast(
+    left: rd.Dataset,
+    intervals: pd.DataFrame,
+    key: str,
+    right_key: str,
+    ts: str,
+    lo: str,
+    hi: str,
+    right_cols: list[str],
+) -> rd.Dataset:
+    """Interval (range) join: one output row per (left row, interval)
+    pair with equal key and ``lo <= ts <= hi`` (inclusive both ends —
+    SQL ``BETWEEN`` semantics).  Overlapping intervals MULTIPLY
+    matches — the many-match semantics a point-in-interval join needs,
+    vs the as-of join's exactly-one-backward-match.
+
+    Broadcast shape: the interval side is shipped once via
+    ``ray.put``; each left batch runs one vectorized equi-merge on the
+    key then a mask.  Per-batch amplification is bounded by the max
+    interval count per key — keep the broadcast side dimension-sized;
+    for two LARGE sides use :func:`range_join_bucketed`."""
+    r = intervals[[right_key, lo, hi] + [c for c in right_cols
+                                         if c not in (right_key, lo, hi)]]
+    ref = ray.put(r.reset_index(drop=True))
+
+    def per_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        rt = ray.get(ref)
+        m = batch.merge(rt, left_on=key, right_on=right_key, how="inner")
+        return m[(m[ts] >= m[lo]) & (m[ts] <= m[hi])]
+
+    return left.map_batches(per_batch, batch_format="pandas")
+
+
+def range_join_bucketed(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    key: str,
+    right_key: str,
+    ts: str,
+    lo: str,
+    hi: str,
+    left_cols: list[str],
+    right_cols: list[str],
+    bucket_width: int,
+    n_buckets: int | None = None,
+) -> rd.Dataset:
+    """LARGE⋈LARGE interval join, both sides streamed.
+
+    Co-partitioning: a point lands in time bucket ``ts // bucket_width``
+    (exactly one); an interval is REPLICATED into every bucket its
+    ``[lo, hi]`` span overlaps (amplification ``span/bucket_width + 1``
+    — size ``bucket_width`` near the typical interval length).  Rows
+    then shuffle once on ``hash(key, time_bucket) % n_buckets``
+    (bounded groups, cluster-derived default width) and each group
+    runs one vectorized merge + mask.  Each (point, interval) match
+    pair coexists in exactly one time bucket (the point's), so the
+    output has no duplicates.  ``ts``/``lo``/``hi`` must be numeric
+    and mutually comparable (the engine convention: int64 epoch
+    microseconds).  Inner semantics; payload columns travel typed
+    (Arrow, nulls for the other side) like
+    :func:`asof_join_bucketed`."""
+    import numpy as np
+    import pyarrow as pa
+
+    from .dedup import _shuffle_width
+
+    nb = n_buckets or _shuffle_width(2.0, floor=16)
+    W = int(bucket_width)
+
+    def _arrow_types(ds: rd.Dataset, cols: list[str]) -> dict:
+        sch = ds.schema()
+        m = dict(zip(sch.names, sch.types))
+        out = {}
+        for c in cols:
+            t = m[c]
+            if not isinstance(t, pa.DataType):
+                t = pa.from_numpy_dtype(t)
+            out[c] = t
+        return out
+
+    ltypes = _arrow_types(left, left_cols)
+    rtypes = _arrow_types(right, right_cols)
+
+    def _bk(kv: np.ndarray, tb: np.ndarray) -> np.ndarray:
+        from pandas.util import hash_array
+
+        kh = hash_array(kv, categorize=False) if kv.dtype == object \
+            else hash_array(kv)
+        mixed = kh + tb.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        return (mixed % np.uint64(nb)).astype(np.int64)
+
+    def tag_points(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        kv = b.column(key).to_numpy(zero_copy_only=False)
+        t = b.column(ts).to_numpy(zero_copy_only=False).astype(np.int64)
+        tb = t // W
+        cols = {
+            "bk": pa.array(_bk(kv, tb)),
+            "tb": pa.array(tb),
+            "side": pa.array(np.zeros(n, dtype=np.int8)),
+            "k": b.column(key),
+            "t": pa.array(t),
+            "lo": pa.nulls(n, type=pa.int64()),
+            "hi": pa.nulls(n, type=pa.int64()),
+        }
+        for c in left_cols:
+            cols[c] = b.column(c).cast(ltypes[c])
+        for c in right_cols:
+            cols[c] = pa.nulls(n, type=rtypes[c])
+        return pa.table(cols)
+
+    def tag_intervals(b: pa.Table) -> pa.Table:
+        kv = b.column(right_key).to_numpy(zero_copy_only=False)
+        lov = b.column(lo).to_numpy(zero_copy_only=False).astype(np.int64)
+        hiv = b.column(hi).to_numpy(zero_copy_only=False).astype(np.int64)
+        tb_lo, tb_hi = lov // W, hiv // W
+        reps = np.maximum(tb_hi - tb_lo + 1, 0).astype(np.int64)
+        idx = np.repeat(np.arange(b.num_rows, dtype=np.int64), reps)
+        # bucket offsets 0..reps-1 per source row, vectorized
+        offs = np.arange(len(idx), dtype=np.int64) - np.repeat(
+            np.cumsum(reps) - reps, reps)
+        tb = tb_lo[idx] + offs
+        take = pa.array(idx)
+        n = len(idx)
+        cols = {
+            "bk": pa.array(_bk(kv[idx], tb)),
+            "tb": pa.array(tb),
+            "side": pa.array(np.ones(n, dtype=np.int8)),
+            "k": b.column(right_key).take(take),
+            "t": pa.nulls(n, type=pa.int64()),
+            "lo": pa.array(lov[idx]),
+            "hi": pa.array(hiv[idx]),
+        }
+        for c in right_cols:
+            cols[c] = b.column(c).take(take).cast(rtypes[c])
+        for c in left_cols:
+            cols[c] = pa.nulls(n, type=ltypes[c])
+        return pa.table(cols)
+
+    # coalesce the union before the groupby: the sort's transfer
+    # fan-out is quadratic in input block count, and a union doubles it
+    rows = left.map_batches(tag_points, batch_format="pyarrow").union(
+        right.map_batches(tag_intervals, batch_format="pyarrow")
+    ).repartition(_shuffle_width())
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        df = g.to_pandas(types_mapper=pd.ArrowDtype)
+        kt = g.column("k").type
+        df["k"] = (df["k"].astype(object) if pa.types.is_string(kt)
+                   else df["k"].to_numpy(dtype=kt.to_pandas_dtype()))
+        empty = pa.table({
+            "k": pa.nulls(0, type=kt),
+            "t": pa.nulls(0, type=pa.int64()),
+            **{c: pa.nulls(0, type=ltypes[c]) for c in left_cols},
+            "lo": pa.nulls(0, type=pa.int64()),
+            "hi": pa.nulls(0, type=pa.int64()),
+            **{c: pa.nulls(0, type=rtypes[c]) for c in right_cols},
+        })
+        pts = df[df["side"] == 0][["k", "tb", "t", *left_cols]]
+        ivs = df[df["side"] == 1][["k", "tb", "lo", "hi", *right_cols]]
+        if not len(pts) or not len(ivs):
+            return empty
+        m = pts.merge(ivs, on=["k", "tb"], how="inner")
+        if not len(m):
+            return empty
+        t = m["t"].to_numpy(dtype=np.int64)
+        m = m[(t >= m["lo"].to_numpy(dtype=np.int64))
+              & (t <= m["hi"].to_numpy(dtype=np.int64))]
+        return pa.Table.from_pandas(
+            m[["k", "t", *left_cols, "lo", "hi", *right_cols]],
+            preserve_index=False)
+
+    return rows.groupby("bk").map_groups(per_bucket, batch_format="pyarrow")
+
+
 def shuffle_anti_join(
     left: rd.Dataset,
     right_keys: rd.Dataset,

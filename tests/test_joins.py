@@ -66,3 +66,80 @@ def test_asof_bucketed_preserves_big_int64_payloads():
     # uid=1 @ 01-02 -> order @ 01-01; uid=1 @ 01-05 -> order @ 01-04;
     # uid=2 @ 01-02 -> no order yet (dropped)
     assert got == {big: big + 10, big + 2: big + 12}
+
+
+def test_range_join_broadcast_and_bucketed_match_oracle():
+    # randomized points ⋈ overlapping intervals vs a pandas brute-force
+    # oracle; broadcast and bucketed paths must agree exactly
+    import numpy as np
+
+    from agentic_rag_for_multi_model_pdf_extraction_ray.ops.join import (
+        range_join_broadcast,
+        range_join_bucketed,
+    )
+
+    rng = np.random.RandomState(5)
+    n_pts, n_iv = 400, 60
+    pts = pd.DataFrame({
+        "uid": rng.randint(0, 8, n_pts),
+        "t_us": rng.randint(0, 10_000, n_pts).astype(np.int64),
+        "val": np.arange(n_pts, dtype=np.int64) + 2**53,  # big-int payload
+    })
+    lo = rng.randint(0, 9_000, n_iv).astype(np.int64)
+    ivs = pd.DataFrame({
+        "uid": rng.randint(0, 8, n_iv),
+        "lo_us": lo,
+        "hi_us": lo + rng.randint(0, 2_500, n_iv),  # overlapping spans
+        "win": np.arange(n_iv, dtype=np.int64),
+    })
+
+    # brute-force oracle: key-equal cartesian + mask
+    o = pts.merge(ivs, on="uid")
+    o = o[(o["t_us"] >= o["lo_us"]) & (o["t_us"] <= o["hi_us"])]
+    want = sorted(zip(o["val"], o["win"]))
+
+    bc = range_join_broadcast(
+        rd.from_pandas(pts).repartition(4), ivs, key="uid",
+        right_key="uid", ts="t_us", lo="lo_us", hi="hi_us",
+        right_cols=["win"]).to_pandas()
+    assert sorted(zip(bc["val"], bc["win"])) == want
+
+    bk = range_join_bucketed(
+        rd.from_pandas(pts).repartition(4),
+        rd.from_pandas(ivs).repartition(3),
+        key="uid", right_key="uid", ts="t_us", lo="lo_us", hi="hi_us",
+        left_cols=["val"], right_cols=["win"],
+        bucket_width=1_000, n_buckets=16).to_pandas()
+    assert sorted(zip(bk["val"].astype(np.int64),
+                      bk["win"].astype(np.int64))) == want
+    # big-int64 payloads survive the typed carriage exactly
+    assert bk["val"].min() >= 2**53
+
+
+def test_range_join_bucketed_string_key_and_edges():
+    import numpy as np
+
+    from agentic_rag_for_multi_model_pdf_extraction_ray.ops.join import (
+        range_join_bucketed,
+    )
+
+    pts = pd.DataFrame({
+        "k": ["a", "a", "b", "c"],
+        "t": np.array([5, 10, 5, 5], dtype=np.int64),
+        "pid": np.arange(4, dtype=np.int64),
+    })
+    ivs = pd.DataFrame({
+        "k": ["a", "a", "b"],
+        "lo": np.array([5, 0, 6], dtype=np.int64),   # lo == t inclusive
+        "hi": np.array([10, 4, 9], dtype=np.int64),  # hi == t inclusive
+        "win": np.array([0, 1, 2], dtype=np.int64),
+    })
+    out = range_join_bucketed(
+        rd.from_pandas(pts), rd.from_pandas(ivs),
+        key="k", right_key="k", ts="t", lo="lo", hi="hi",
+        left_cols=["pid"], right_cols=["win"],
+        bucket_width=3, n_buckets=8).to_pandas()
+    got = sorted(zip(out["pid"].astype(int), out["win"].astype(int)))
+    # pid0 (a,5): win0 [5,10] yes, win1 [0,4] no; pid1 (a,10): win0 yes;
+    # pid2 (b,5): win2 [6,9] no; pid3 (c,5): no intervals
+    assert got == [(0, 0), (1, 0)]
