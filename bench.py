@@ -111,7 +111,7 @@ def run_bench() -> dict:
         "q_events_tumbling", "q_sessionize", "q_dedup_exact",
         "q_minhash_clusters", "q_ngram_jaccard", "q_knn", "q_knn_store",
         "q_cosine_pairs", "q_event_median_hist", "q_token_stats",
-        "q_langid", "q_watermark_window",
+        "q_langid", "q_watermark_window", "q_range_join",
     ]
     queries = {}
     qs = entrymod.queries()
