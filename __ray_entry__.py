@@ -1367,6 +1367,27 @@ def _q_range_join(sf_dir: str):
     return agg.map_batches(finish, batch_format="pandas").to_pandas()
 
 
+def _q_cms_heavy_hitters(sf_dir: str):
+    """Count-min sketch frequency estimates over ``events.user_id``
+    (rows-only: CMS is an ε-overcount sketch, not SQL-expressible;
+    tests/test_sketch.py holds the never-undercount + error-bound +
+    distributed-merge oracles).  Driver sees #blocks 64 KiB sketch
+    blobs, never the values."""
+    from agentic_rag_for_multi_model_pdf_extraction_ray.ops.sketch import (
+        cms_estimate,
+        count_min,
+    )
+    from agentic_rag_for_multi_model_pdf_extraction_ray.sources.corpus import (
+        read_table,
+    )
+
+    ev = read_table(sf_dir, "events", columns=["user_id"])
+    sk = count_min(ev, "user_id", width=4096, depth=4)
+    ids = list(range(10))
+    return pd.DataFrame({"user_id": ids,
+                         "est_count": cms_estimate(sk, ids).astype("int64")})
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """One entry per implemented pipeline/operator (SURVEY.md section 2).
 
@@ -1448,6 +1469,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_knn_lsh": _q_knn_lsh,
         "q_knn_store": _q_knn_store,
         "q_knn_ivf": _q_knn_ivf,
+        "q_cms_heavy_hitters": _q_cms_heavy_hitters,
         "q_routed_answer": _q_routed_answer,
         "q_validated_chunks": _q_validated_chunks,
         "q_classified_spans": _q_classified_spans,

@@ -230,3 +230,90 @@ def bloom_semi_join(ds: rd.Dataset, keys, on: str, n_bits: int = 1 << 20,
         return batch[f.contains(batch[on].to_numpy())]
 
     return ds.map_batches(filt, batch_format="pandas")
+
+
+class CountMinSketch:
+    """Count-min sketch (Cormode & Muthukrishnan 2005): a (depth ×
+    width) counter matrix; point estimates overcount only (never
+    under), with error ≤ e/width · N at confidence 1 − e^-depth.
+    Mergeable by elementwise sum — THE shape for streaming frequency
+    estimation over a corpus too wide for exact counting (the exact
+    bounded-bucket ``top_tokens`` stays the exactness path).
+
+    Hashing: one vectorized :func:`~..functions.hashing.hash_tokens`
+    call per value array, then ``depth`` odd-multiplier universal
+    hashes of the 64-bit value — no per-row Python."""
+
+    # odd 64-bit multipliers (splitmix64-derived), one per row
+    _MULT = np.array([0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9,
+                      0x94D049BB133111EB, 0xD6E8FEB86659FD93,
+                      0xA5A5A5A5A5A5A5A5 | 1, 0xC2B2AE3D27D4EB4F,
+                      0x165667B19E3779F9, 0x27D4EB2F165667C5],
+                     dtype=np.uint64)
+
+    def __init__(self, width: int = 2048, depth: int = 4):
+        if depth > len(self._MULT):
+            raise ValueError(f"depth must be <= {len(self._MULT)}")
+        self.width, self.depth = int(width), int(depth)
+        self.counts = np.zeros((depth, width), dtype=np.int64)
+
+    def _idx(self, h: np.ndarray) -> np.ndarray:
+        """(depth, n) column indices for pre-hashed uint64 values."""
+        with np.errstate(over="ignore"):
+            m = h[None, :] * self._MULT[:self.depth, None]
+        return ((m >> np.uint64(33)) % np.uint64(self.width)).astype(np.int64)
+
+    def add_hashes(self, h: np.ndarray, weights=None) -> None:
+        idx = self._idx(h)
+        w = np.ones(len(h), dtype=np.int64) if weights is None \
+            else np.asarray(weights, dtype=np.int64)
+        for d in range(self.depth):  # depth is 4-8: a bounded loop
+            np.add.at(self.counts[d], idx[d], w)
+
+    def estimate_hashes(self, h: np.ndarray) -> np.ndarray:
+        idx = self._idx(h)
+        return self.counts[np.arange(self.depth)[:, None], idx].min(axis=0)
+
+    def merge(self, other: "CountMinSketch") -> "CountMinSketch":
+        assert (self.width, self.depth) == (other.width, other.depth)
+        self.counts += other.counts
+        return self
+
+    def to_bytes(self) -> bytes:
+        return self.counts.tobytes()
+
+    @classmethod
+    def from_bytes(cls, b: bytes, width: int, depth: int) -> "CountMinSketch":
+        s = cls(width, depth)
+        s.counts = np.frombuffer(b, dtype=np.int64).reshape(depth, width).copy()
+        return s
+
+
+def count_min(ds: rd.Dataset, col: str, width: int = 2048,
+              depth: int = 4) -> CountMinSketch:
+    """Distributed count-min sketch of a column: one partial sketch
+    per block (``batch_size=None``), merged on the driver — the driver
+    sees ``#blocks`` byte blobs of ``depth × width × 8`` bytes
+    (4×2048 = 64 KiB), never the values.  Token hashing is the
+    engine's one-C-call-per-batch contract."""
+    from ..functions.hashing import hash_tokens
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        s = CountMinSketch(width, depth)
+        s.add_hashes(hash_tokens(b[col].astype(str).to_numpy()))
+        return pd.DataFrame({"m": [s.to_bytes()]})
+
+    parts = ds.map_batches(partial, batch_format="pandas",
+                           batch_size=None).to_pandas()
+    out = CountMinSketch(width, depth)
+    for blob in parts["m"]:
+        out.merge(CountMinSketch.from_bytes(blob, width, depth))
+    return out
+
+
+def cms_estimate(sketch: CountMinSketch, values) -> np.ndarray:
+    """Point-frequency estimates for ``values`` (over-estimates only)."""
+    from ..functions.hashing import hash_tokens
+
+    return sketch.estimate_hashes(
+        hash_tokens(np.asarray([str(v) for v in values], dtype=object)))

@@ -58,3 +58,71 @@ def test_bloom_semi_join():
     out = bloom_semi_join(ds, keys=[5, 50, 99], on="k").to_pandas()
     assert {5, 50, 99} <= set(out["k"])          # no false negatives
     assert len(out) <= 10                         # few false positives
+
+
+def test_count_min_overestimates_only_and_merges():
+    import numpy as np
+
+    from agentic_rag_for_multi_model_pdf_extraction_ray.functions.hashing import (
+        hash_tokens,
+    )
+    from agentic_rag_for_multi_model_pdf_extraction_ray.ops.sketch import (
+        CountMinSketch,
+    )
+
+    rng = np.random.RandomState(11)
+    # zipf-ish token stream: token i appears ~1/(i+1) of the time
+    toks = np.array([f"t{i}" for i in rng.zipf(1.5, 20_000) if i < 500],
+                    dtype=object)
+    true = {}
+    for t in toks:
+        true[t] = true.get(t, 0) + 1
+
+    # split the stream, sketch halves independently, merge
+    a, b = CountMinSketch(1024, 4), CountMinSketch(1024, 4)
+    a.add_hashes(hash_tokens(toks[: len(toks) // 2]))
+    b.add_hashes(hash_tokens(toks[len(toks) // 2:]))
+    m = a.merge(b)
+
+    keys = np.array(list(true), dtype=object)
+    est = m.estimate_hashes(hash_tokens(keys))
+    truth = np.array([true[k] for k in keys])
+    # CMS never undercounts
+    assert (est >= truth).all()
+    # error bound: e/width * N at confidence 1 - e^-depth; assert the
+    # (loose) deterministic bound holds for every key here
+    assert (est - truth <= np.e / 1024 * len(toks) + 1).all()
+    # heavy hitters are estimated exactly at this width
+    top = keys[np.argsort(-truth)[:5]]
+    assert (m.estimate_hashes(hash_tokens(top))
+            == np.array([true[k] for k in top])).all()
+
+    # serialization round-trip
+    r = CountMinSketch.from_bytes(m.to_bytes(), 1024, 4)
+    assert (r.estimate_hashes(hash_tokens(keys)) == est).all()
+
+
+def test_count_min_distributed_matches_single_process():
+    import numpy as np
+
+    from agentic_rag_for_multi_model_pdf_extraction_ray.functions.hashing import (
+        hash_tokens,
+    )
+    from agentic_rag_for_multi_model_pdf_extraction_ray.ops.sketch import (
+        CountMinSketch,
+        cms_estimate,
+        count_min,
+    )
+
+    rng = np.random.RandomState(3)
+    vals = [f"u{i}" for i in rng.randint(0, 200, 5000)]
+    ds = rd.from_pandas(pd.DataFrame({"v": vals})).repartition(6)
+
+    sk = count_min(ds, "v", width=512, depth=4)
+    ref = CountMinSketch(512, 4)
+    ref.add_hashes(hash_tokens(np.asarray(vals, dtype=object)))
+    assert (sk.counts == ref.counts).all()
+
+    est = cms_estimate(sk, ["u0", "u1", "nope"])
+    true0 = vals.count("u0")
+    assert est[0] >= true0 and est[2] >= 0
