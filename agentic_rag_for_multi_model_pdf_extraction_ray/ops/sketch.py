@@ -29,15 +29,23 @@ from ..functions.hashing import _mix64
 
 
 def _hash64_batch(values) -> np.ndarray:
-    """Deterministic 64-bit hashes of a value array (via utf-8/bytes)."""
-    import hashlib
+    """Deterministic 64-bit hashes of a value array — ONE vectorized C
+    siphash call per batch (the engine token-hash contract; the old
+    per-row blake2b loop was the last Python row loop in a sketch hot
+    path).  Numeric arrays hash their values directly; anything else
+    is stringified once (vectorized) so mixed producers of the same
+    logical values agree."""
+    from ..functions.hashing import TOKEN_HASH_KEY
 
-    out = np.empty(len(values), dtype=np.uint64)
-    for i, v in enumerate(values):
-        out[i] = int.from_bytes(
-            hashlib.blake2b(str(v).encode("utf-8"), digest_size=8).digest(), "big"
-        )
-    return out
+    from pandas.util import hash_array
+
+    a = np.asarray(values)
+    if len(a) == 0:
+        return np.empty(0, dtype=np.uint64)
+    if a.dtype.kind in "iufb":
+        return hash_array(a, hash_key=TOKEN_HASH_KEY)
+    s = pd.Series(a).astype(str).to_numpy(dtype=object)
+    return hash_array(s, categorize=False, hash_key=TOKEN_HASH_KEY)
 
 
 class HyperLogLog:
