@@ -126,3 +126,22 @@ def test_count_min_distributed_matches_single_process():
     est = cms_estimate(sk, ["u0", "u1", "nope"])
     true0 = vals.count("u0")
     assert est[0] >= true0 and est[2] >= 0
+
+
+def test_count_min_weighted_adds():
+    import numpy as np
+
+    from agentic_rag_for_multi_model_pdf_extraction_ray.functions.hashing import (
+        hash_tokens,
+    )
+    from agentic_rag_for_multi_model_pdf_extraction_ray.ops.sketch import (
+        CountMinSketch,
+    )
+
+    s = CountMinSketch(256, 4)
+    keys = np.array(["x", "y"], dtype=object)
+    s.add_hashes(hash_tokens(keys), weights=[7, 3])
+    s.add_hashes(hash_tokens(keys[:1]), weights=[5])
+    est = s.estimate_hashes(hash_tokens(keys))
+    assert est[0] >= 12 and est[1] >= 3  # never undercounts
+    assert est[0] == 12 and est[1] == 3  # exact at this load factor
