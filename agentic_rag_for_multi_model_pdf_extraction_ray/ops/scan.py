@@ -3,26 +3,44 @@ the primitive behind event-time watermarks, running totals/budget
 caps, and CDF construction in a streaming log pipeline.  Ray Data has
 no window functions; the reference is strictly batch (SURVEY.md §2.8).
 
-Shape — the classic two-level scan, nothing corpus-sized on the
-driver:
+Shape — the classic two-level scan, nothing corpus-sized pinned or
+driver-resident:
 
-  1. bucket by ``order // bucket_width`` (fixed-width ranges of the
-     order key — one cheap map pass, no sort),
-  2. per-bucket partials (one tiny row per bucket) → driver-side
-     EXCLUSIVE scan over the ≤ #buckets partials,
-  3. broadcast the bucket offsets; ``groupby(bucket).map_groups``
-     sorts each bucket internally and accumulates, seeded with its
-     bucket's offset.
+  1. one PRUNED profiling pass over just the order column (per-block
+     row counts + strided samples, O(blocks × 256) numbers at the
+     driver) derives a BOUNDED set of range-bucket edges — quantile
+     cut points of the sampled order key, so skewed keys balance
+     automatically; bucket count scales with sampled row count
+     (``rows_per_bucket``) and is hard-capped at ``_MAX_BUCKETS`` so
+     the offsets broadcast stays trivial at any corpus size,
+  2. a partials pass computes ``__bk = searchsorted(edges, order)``
+     inline and reduces to one tiny row per (block, bucket); a
+     coalesce + re-combine bounds what the driver collects at
+     O(width × buckets) even on a million-block corpus; the driver
+     runs an EXCLUSIVE scan over the ≤ ``_MAX_BUCKETS`` bucket
+     partials,
+  3. the bucket offsets are broadcast ONCE as parallel sorted arrays
+     (``searchsorted`` lookup, no per-bucket dict);
+     ``groupby(bucket).map_groups`` sorts each bucket internally and
+     accumulates, seeded with its bucket's offset.
 
-Partitioning assumptions: the order key is integer-comparable and
-roughly dense (fixed-width buckets stay balanced; a wildly skewed key
-needs quantile buckets instead), and one bucket fits a worker
-(``bucket_width`` rows).
+The source dataset is consumed THREE times (profile, partials, scan)
+but never materialized — each pass streams with backpressure, which
+is the 100 TB trade: re-reading a pruned column beats pinning the
+corpus in the object store.  For an EXPENSIVE computed upstream pass
+``pin=True`` to materialize once and feed all three passes from the
+object store (the pre-round-5 behavior).
+
+Partitioning assumptions: the order key is integer-comparable, and
+one bucket (≈ ``rows_per_bucket`` rows, or corpus/``_MAX_BUCKETS`` at
+extreme scale) fits a worker for the in-bucket sort.
 
 Exactness: for ``op="sum"`` on float columns pass ``scale`` (e.g. 100
 for cents) so partial sums are exact int64 and the result is
 independent of distribution — and exactly mirrorable by a DuckDB
-``sum(...) OVER (ORDER BY ...)`` window oracle.
+``sum(...) OVER (ORDER BY ...)`` window oracle.  Bucket-edge
+placement is sampled, but any monotone bucketing of the order axis
+yields the same scan, so edge quality only affects load balance.
 """
 
 from __future__ import annotations
@@ -35,78 +53,78 @@ import ray.data as rd
 
 _OPS = {"sum", "max"}
 
-
-def _quantile_edges(src: rd.Dataset, order_col: str,
-                    n_buckets: int, per_block: int = 256) -> np.ndarray:
-    """Sampled quantile cut points for range-bucketing a skewed order
-    key: a strided per-block sample (≤ ``per_block`` values each — the
-    driver sees O(blocks × per_block) numbers, never the column) →
-    ``n_buckets - 1`` interior quantiles.  Edge quality only affects
-    LOAD BALANCE, never correctness — any monotone bucketing of the
-    order axis yields the same scan."""
-
-    def sample(t: pa.Table) -> pa.Table:
-        o = t.column(order_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
-        stride = max(1, len(o) // per_block)
-        return pa.table({"o": pa.array(o[::stride])})
-
-    rows = (src.select_columns([order_col])
-            .map_batches(sample, batch_format="pyarrow", batch_size=None)
-            .take_all())
-    samp = np.array([r["o"] for r in rows], dtype=np.int64)
-    if not len(samp):
-        return np.empty(0, dtype=np.int64)
-    qs = np.quantile(samp, np.linspace(0, 1, n_buckets + 1)[1:-1])
-    return np.unique(qs.astype(np.int64))
+# Hard cap on scan buckets: bounds the offsets broadcast (64Ki int64s
+# ≈ 1 MB), the driver-side partial table, and the group count of the
+# final map_groups.  At 10^12 rows this means ~15M-row buckets — a
+# worker-sortable block — while small inputs derive far fewer buckets
+# via rows_per_bucket.
+_MAX_BUCKETS = 65536
 
 
 def prefix_scan(ds: rd.Dataset, order_col: str, value_col: str,
-                op: str = "sum", bucket_width: int = 65536,
+                op: str = "sum", bucket_width: int | None = None,
                 scale: int | None = None,
                 alias: str | None = None,
-                quantile_buckets: int | None = None) -> rd.Dataset:
+                quantile_buckets: int | None = None,
+                rows_per_bucket: int = 262144,
+                pin: bool = False) -> rd.Dataset:
     """Add ``alias`` (default ``running_<op>``) = inclusive running
     aggregate of ``value_col`` in ``order_col`` order.
 
-    Bucketing: by default fixed-width ranges of the order key
-    (``order // bucket_width`` — cheap, but assumes a roughly dense
-    key).  For a SKEWED order key pass ``quantile_buckets=N``:
-    sampled quantile edges split the order axis into N range buckets
-    of roughly equal row count regardless of the key distribution
-    (the sample is bounded per block; edges are broadcast once).
-    Bucket assignment stays monotone in the order value either way,
-    which is all the two-level scan's correctness needs."""
+    Bucketing: by default, quantile edges sampled from the order
+    column with bucket count derived from the sampled row count
+    (``ceil(rows / rows_per_bucket)``, clamped to
+    [cluster width, ``_MAX_BUCKETS``]) — skewed keys balance
+    automatically and the bucket count is bounded at any scale.
+    ``quantile_buckets=N`` forces an explicit bucket count;
+    ``bucket_width=W`` forces fixed-width ranges of the key (edges at
+    multiples of W over the sampled range, widened if the range/W
+    would exceed the cap).  Bucket assignment stays monotone in the
+    order value in every mode, which is all the two-level scan's
+    correctness needs.
+
+    ``pin=True`` materializes the source once and feeds all passes
+    from the object store — for expensive computed upstreams where
+    three streaming re-executions cost more than the pin."""
     if op not in _OPS:
         raise ValueError(f"op must be one of {_OPS}")
     alias = alias or f"running_{op}"
+    if pin:
+        ds = ds.materialize()
 
+    from .dedup import _shuffle_width
+
+    n_rows, samp = _profile(ds, order_col)
+    if n_rows == 0:
+        # schema-stable empty result: just emit the alias column
+        def tag_empty(b: pd.DataFrame) -> pd.DataFrame:
+            out = b.copy()
+            out[alias] = np.float64() if scale else np.int64()
+            return out
+        return ds.map_batches(tag_empty, batch_format="pandas")
+
+    width = max(1, int(_shuffle_width(1.0)))
     if quantile_buckets is not None:
-        # materialize once so the sampling pass doesn't recompute the
-        # upstream pipeline (same trade as the bucketed materialize
-        # below; at 100 TB the alternative is one extra upstream pass)
-        src = ds.materialize()
-        edges = _quantile_edges(src, order_col, quantile_buckets)
-        e_ref = ray.put(edges)
-
-        def add_bucket(t: pa.Table) -> pa.Table:
-            order = t.column(order_col).cast(pa.int64()).to_numpy(
-                zero_copy_only=False)
-            bk = np.searchsorted(ray.get(e_ref), order, side="right")
-            return t.append_column("__bk", pa.array(bk.astype(np.int64)))
-
-        bucketed = src.map_batches(add_bucket,
-                                   batch_format="pyarrow").materialize()
+        n_buckets = int(min(max(1, quantile_buckets), _MAX_BUCKETS))
+        qs = np.quantile(samp, np.linspace(0, 1, n_buckets + 1)[1:-1])
+        edges = np.unique(qs.astype(np.int64))
+    elif bucket_width is not None:
+        lo, hi = int(samp.min()), int(samp.max())
+        span = hi - lo + 1
+        w_eff = max(int(bucket_width), -(-span // _MAX_BUCKETS))
+        # edges at multiples of w_eff so the bucketing matches the
+        # documented fixed-width semantics over the sampled range
+        first = (lo // w_eff + 1) * w_eff
+        edges = np.arange(first, hi + 1, w_eff, dtype=np.int64)
     else:
-        def add_bucket(t: pa.Table) -> pa.Table:
-            import pyarrow.compute as pc
+        n_buckets = int(min(max(width, -(-n_rows // rows_per_bucket)),
+                            _MAX_BUCKETS))
+        qs = np.quantile(samp, np.linspace(0, 1, n_buckets + 1)[1:-1])
+        edges = np.unique(qs.astype(np.int64))
+    e_ref = ray.put(edges)
 
-            order = t.column(order_col).cast(pa.int64())
-            # integer divide truncates = floor for the non-negative
-            # keys this operator supports
-            return t.append_column("__bk", pc.divide(order, bucket_width))
-
-        bucketed = ds.map_batches(add_bucket,
-                                  batch_format="pyarrow").materialize()
+    def _bk(order: np.ndarray) -> np.ndarray:
+        return np.searchsorted(ray.get(e_ref), order, side="right")
 
     def _vals(b: pd.DataFrame) -> np.ndarray:
         v = b[value_col].to_numpy()
@@ -119,38 +137,60 @@ def prefix_scan(ds: rd.Dataset, order_col: str, value_col: str,
 
     def partials(b: pd.DataFrame) -> pd.DataFrame:
         v = _vals(b)
-        g = b.groupby("__bk", sort=False)
-        idx = g.indices
-        rows = {"__bk": [], "p": []}
-        for bk, ii in idx.items():
-            rows["__bk"].append(bk)
-            rows["p"].append(v[ii].sum() if op == "sum" else v[ii].max())
-        return pd.DataFrame(rows)
+        bk = _bk(b[order_col].to_numpy(dtype=np.int64, na_value=0))
+        order = np.argsort(bk, kind="stable")
+        bks, starts = np.unique(bk[order], return_index=True)
+        agg = (np.add if op == "sum" else np.maximum).reduceat(
+            v[order], starts)
+        return pd.DataFrame({"__bk": bks, "p": agg})
 
-    part = bucketed.map_batches(partials, batch_format="pandas",
-                                batch_size=None).to_pandas()
+    def recombine(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("__bk", sort=True)["p"]
+        out = (g.sum() if op == "sum" else g.max()).reset_index()
+        return out
+
+    # partials stream per block; a coalesce + per-block re-combine
+    # bounds the driver collection at O(width × buckets) rows even
+    # when the corpus has millions of blocks
+    part = (ds.map_batches(partials, batch_format="pandas",
+                           batch_size=None)
+            .repartition(width)
+            .map_batches(recombine, batch_format="pandas",
+                         batch_size=None)
+            .to_pandas())
     part = part.groupby("__bk")["p"].agg("sum" if op == "sum" else "max")
     part = part.sort_index()
+    bks_sorted = part.index.to_numpy(dtype=np.int64)
     if op == "sum":
-        offsets = part.cumsum().shift(1, fill_value=0)
+        offs = part.cumsum().shift(1, fill_value=0).to_numpy()
+        valid = np.ones(len(offs), dtype=bool)
     else:
-        offsets = part.cummax().shift(1)  # NaN for the first bucket
-    off_ref = ray.put(dict(offsets))
+        shifted = part.cummax().shift(1)
+        valid = ~shifted.isna().to_numpy()
+        offs = shifted.fillna(0).to_numpy()
+    off_ref = ray.put((bks_sorted, offs, valid))
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        order = t.column(order_col).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        return t.append_column(
+            "__bk", pa.array(_bk(order).astype(np.int64)))
 
     def scan_group(g: pd.DataFrame) -> pd.DataFrame:
-        offs = ray.get(off_ref)
+        bks, offarr, validarr = ray.get(off_ref)
         bk = int(g["__bk"].iloc[0])
+        pos = int(np.searchsorted(bks, bk))
+        has = pos < len(bks) and bks[pos] == bk
         g = g.sort_values(order_col, kind="mergesort")
         v = _vals(g)
         if op == "sum":
-            run = np.cumsum(v) + offs.get(bk, 0)
+            run = np.cumsum(v) + (offarr[pos] if has else 0)
             if scale is not None:
                 run = run / scale
         else:
             run = np.maximum.accumulate(v)
-            prev = offs.get(bk, None)
-            if prev is not None and not pd.isna(prev):
-                run = np.maximum(run, prev)
+            if has and validarr[pos]:
+                run = np.maximum(run, offarr[pos])
             if scale is not None:
                 # undo the fixed-point scaling, same as the sum branch
                 # (running max of scaled values == scaled running max —
@@ -160,14 +200,40 @@ def prefix_scan(ds: rd.Dataset, order_col: str, value_col: str,
         out[alias] = run
         return out
 
-    from .dedup import _shuffle_width
-
     # repartition after the map_groups: the groupby emits one block per
     # bucket plus schema-less EMPTY blocks for empty partitions, and a
     # downstream groupby/join over that ragged block list measurably
     # degrades (5.4 s -> 2.3 s for the watermark window's tumbling
     # aggregate at sf0.1) or errors outright ([[ray-local-pitfalls]]).
     # Cluster-derived width; plain (split/merge) repartition, no shuffle.
-    return (bucketed.groupby("__bk")
+    return (ds.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("__bk")
             .map_groups(scan_group, batch_format="pandas")
-            .repartition(_shuffle_width(1.0)))
+            .repartition(width))
+
+
+def _profile(src: rd.Dataset, order_col: str,
+             per_block: int = 256) -> tuple[int, np.ndarray]:
+    """One pruned streaming pass over ``order_col``: exact total row
+    count + a strided per-block sample.  Each block emits its row
+    count on its FIRST sample row and 0 on the rest, so the driver
+    recovers the exact total by summing — no block-boundary
+    bookkeeping, O(blocks × per_block) numbers at the driver."""
+
+    def sample(t: pa.Table) -> pa.Table:
+        o = t.column(order_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        stride = max(1, len(o) // per_block)
+        s = o[::stride]
+        n = np.zeros(len(s), dtype=np.int64)
+        if len(n):
+            n[0] = len(o)
+        return pa.table({"n": pa.array(n), "o": pa.array(s)})
+
+    rows = (src.select_columns([order_col])
+            .map_batches(sample, batch_format="pyarrow", batch_size=None)
+            .take_all())
+    if not rows:
+        return 0, np.empty(0, dtype=np.int64)
+    samp = np.array([r["o"] for r in rows], dtype=np.int64)
+    total = int(sum(int(r["n"]) for r in rows))
+    return total, samp

@@ -180,7 +180,7 @@ def sessionize(events: rd.Dataset, key: str = "user_id",
 
 
 def _with_watermark(events: rd.Dataset, arrival_col: str, ts_col: str,
-                    bucket_width: int) -> rd.Dataset:
+                    bucket_width: int | None) -> rd.Dataset:
     """Attach ``__ts_us`` (event time, int64 µs) and ``__wm_us`` (the
     watermark: running max of event time over arrival order) via the
     distributed two-level :func:`~..ops.scan.prefix_scan`."""
@@ -198,7 +198,7 @@ def _with_watermark(events: rd.Dataset, arrival_col: str, ts_col: str,
 
 def late_event_filter(events: rd.Dataset, arrival_col: str,
                       ts_col: str = "ts", lateness_sec: int = 3600,
-                      bucket_width: int = 65536,
+                      bucket_width: int | None = None,
                       keep_stats_cols: bool = False) -> rd.Dataset:
     """Watermark-based late-data filter (the streaming engines'
     allowed-lateness semantics, batch-replayable).
@@ -248,7 +248,7 @@ def watermarked_tumbling_window(events: rd.Dataset, key: str = "event_type",
                                 freq: str = "h", arrival_col: str = "arrival",
                                 ts_col: str = "ts",
                                 lateness_sec: int = 3600,
-                                bucket_width: int = 65536) -> rd.Dataset:
+                                bucket_width: int | None = None) -> rd.Dataset:
     """Tumbling count+sum windows over only the events that survive
     the :func:`late_event_filter` watermark — the end-to-end
     "windowed aggregate with allowed lateness" a streaming log
@@ -264,7 +264,7 @@ def watermarked_hopping_window(events: rd.Dataset, key: str = "event_type",
                                arrival_col: str = "arrival",
                                ts_col: str = "ts",
                                lateness_sec: int = 3600,
-                               bucket_width: int = 65536) -> rd.Dataset:
+                               bucket_width: int | None = None) -> rd.Dataset:
     """Hopping (sliding) count+sum windows over only the events that
     survive the :func:`late_event_filter` watermark — the sliding
     sibling of :func:`watermarked_tumbling_window`, completing the
@@ -281,7 +281,7 @@ def watermarked_hopping_window(events: rd.Dataset, key: str = "event_type",
 
 def late_event_stats(events: rd.Dataset, arrival_col: str,
                      ts_col: str = "ts", lateness_sec: int = 3600,
-                     bucket_width: int = 65536) -> dict:
+                     bucket_width: int | None = None) -> dict:
     """Drop-visibility companion to :func:`late_event_filter`:
     ``{"n_total", "n_late", "max_lateness_sec"}`` computed in one
     distributed pass (the same watermark scan, then a per-batch

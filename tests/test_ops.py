@@ -570,7 +570,7 @@ def test_prefix_scan_quantile_buckets_skewed_key():
     # quantile mode balances load AND stays exact vs the cumulative
     # oracle (any monotone bucketing gives the same scan)
     from agentic_rag_for_multi_model_pdf_extraction_ray.ops.scan import (
-        _quantile_edges,
+        _profile,
         prefix_scan,
     )
 
@@ -598,13 +598,80 @@ def test_prefix_scan_quantile_buckets_skewed_key():
     # balance evidence: quantile edges split the skewed key into
     # buckets where no bucket holds more than ~half the rows (fixed
     # width 65536 would put 99% into bucket 0)
-    src = rd.from_pandas(df).repartition(4).materialize()
-    edges = _quantile_edges(src, "k", 8)
+    src = rd.from_pandas(df).repartition(4)
+    n_rows, samp = _profile(src, "k")
+    assert n_rows == n  # the pruned pass recovers the exact row count
+    edges = np.unique(np.quantile(
+        samp, np.linspace(0, 1, 9)[1:-1]).astype(np.int64))
     bk = np.searchsorted(edges, df["k"].to_numpy(), side="right")
     counts = np.bincount(bk)
     assert counts.max() <= 0.5 * n
     fixed = np.bincount(df["k"].to_numpy() // 65536)
     assert fixed.max() >= 0.98 * n  # the failure mode quantiles fix
+
+
+def test_prefix_scan_streams_without_materialize(monkeypatch):
+    # the 100 TB contract: the default path never pins the corpus in
+    # the object store — three streaming passes, no Dataset.materialize
+    from agentic_rag_for_multi_model_pdf_extraction_ray.ops.scan import prefix_scan
+
+    def boom(self, *a, **k):
+        raise AssertionError("prefix_scan materialized the corpus")
+
+    monkeypatch.setattr(rd.Dataset, "materialize", boom)
+    df = pd.DataFrame({"k": np.arange(500, dtype=np.int64),
+                       "v": np.ones(500, dtype=np.int64)})
+    ds = rd.from_pandas(df).repartition(4)
+    out = prefix_scan(ds, "k", "v", op="sum").to_pandas().sort_values("k")
+    assert np.array_equal(out["running_sum"].to_numpy(),
+                          np.arange(1, 501, dtype=np.int64))
+    # quantile and fixed-width modes stream too
+    out2 = prefix_scan(ds, "k", "v", op="max",
+                       quantile_buckets=4).to_pandas()
+    assert len(out2) == 500
+    out3 = prefix_scan(ds, "k", "v", op="sum",
+                       bucket_width=100).to_pandas()
+    assert len(out3) == 500
+
+
+def test_prefix_scan_pin_materializes_once(monkeypatch):
+    # pin=True is the explicit opt-in for expensive computed upstreams:
+    # exactly one materialize of the source
+    from agentic_rag_for_multi_model_pdf_extraction_ray.ops.scan import prefix_scan
+
+    calls = []
+    orig = rd.Dataset.materialize
+
+    def counting(self, *a, **k):
+        calls.append(1)
+        return orig(self, *a, **k)
+
+    monkeypatch.setattr(rd.Dataset, "materialize", counting)
+    df = pd.DataFrame({"k": np.arange(100, dtype=np.int64),
+                       "v": np.ones(100, dtype=np.int64)})
+    ds = rd.from_pandas(df).repartition(2)
+    out = prefix_scan(ds, "k", "v", op="sum", pin=True).to_pandas()
+    assert len(out) == 100 and len(calls) == 1
+
+
+def test_prefix_scan_bucket_count_bounded():
+    # the derived bucket count obeys rows_per_bucket and _MAX_BUCKETS —
+    # the driver-side offsets stay O(buckets) at any corpus size
+    from agentic_rag_for_multi_model_pdf_extraction_ray.ops import scan as scan_mod
+
+    df = pd.DataFrame({"k": np.arange(10_000, dtype=np.int64),
+                       "v": np.ones(10_000, dtype=np.int64)})
+    ds = rd.from_pandas(df).repartition(4)
+    out = scan_mod.prefix_scan(ds, "k", "v", op="sum",
+                               rows_per_bucket=1000).to_pandas()
+    assert np.array_equal(np.sort(out["running_sum"].to_numpy()),
+                          np.arange(1, 10_001, dtype=np.int64))
+    # a forced bucket count above the cap is clamped
+    outc = scan_mod.prefix_scan(ds, "k", "v", op="sum",
+                                quantile_buckets=scan_mod._MAX_BUCKETS * 4
+                                ).to_pandas()
+    assert np.array_equal(np.sort(outc["running_sum"].to_numpy()),
+                          np.arange(1, 10_001, dtype=np.int64))
 
 
 def test_late_event_stats_counts():
