@@ -254,12 +254,18 @@ def _q_order_lineitem_join(sf_dir: str):
 
     li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice"])
 
-    def add_cents(b: pd.DataFrame) -> pd.DataFrame:
-        b["price_cents"] = cents(b["l_extendedprice"].to_numpy())
-        return b[["l_orderkey", "price_cents"]]
+    def add_cents(t: pa.Table) -> pa.Table:
+        # pyarrow (not pandas) on purpose: a pandas stage feeding the
+        # hash-shuffle join makes Ray re-attach pandas schema metadata
+        # on the arrow conversion, whose unhashable schema defeats the
+        # join aggregator's schema dedup (warning wall)
+        return pa.table({
+            "l_orderkey": t.column("l_orderkey"),
+            "price_cents": pa.array(cents(t.column("l_extendedprice").to_numpy())),
+        })
 
     orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_orderstatus"])
-    joined = shuffle_join(li.map_batches(add_cents, batch_format="pandas"),
+    joined = shuffle_join(li.map_batches(add_cents, batch_format="pyarrow"),
                           orders, on="l_orderkey", right_on="o_orderkey",
                           num_partitions=8)
     agg = partial_groupby_sum_count(

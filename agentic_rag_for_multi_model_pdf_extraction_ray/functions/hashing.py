@@ -224,9 +224,22 @@ def hamming64(a: int, b: int) -> int:
 
 def jaccard(a, b) -> float:
     """Jaccard similarity of two collections of unique hashables
-    (sets, or the unique uint64 arrays :func:`char_shingles` returns)."""
+    (sets, or the unique uint64 arrays :func:`char_shingles` returns).
+
+    Mixed/unsorted/non-unique inputs are normalized on the array
+    branch: ``np.asarray(set)`` yields a useless 0-d object array and
+    ``intersect1d(assume_unique=True)`` miscounts duplicates, so
+    anything that is not already an ndarray goes through
+    ``np.fromiter`` and both sides through ``np.unique`` unless they
+    came from char_shingles (already unique-sorted uint64)."""
     if isinstance(a, np.ndarray) or isinstance(b, np.ndarray):
-        a, b = np.asarray(a), np.asarray(b)
+        def _norm(x):
+            if isinstance(x, np.ndarray):
+                # char_shingles returns unique-sorted uint64; anything
+                # else (caller-built array) gets deduped defensively
+                return x if x.dtype == np.uint64 else np.unique(x)
+            return np.unique(np.fromiter(x, dtype=np.uint64, count=len(x)))
+        a, b = _norm(a), _norm(b)
         if not len(a) and not len(b):
             return 1.0
         if not len(a) or not len(b):

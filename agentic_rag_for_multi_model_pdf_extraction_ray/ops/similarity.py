@@ -238,12 +238,14 @@ def query_lsh_index(index_dir: str, query_vec: np.ndarray, k: int = 10,
     with open(os.path.join(index_dir, "_INDEX.json")) as f:
         meta = json.load(f)
     _check_token_hash(meta, index_dir)
+    tuned = False
     if n_probes is None:
         n_probes = 2
         tpath = os.path.join(index_dir, "_TUNING.json")
         if os.path.isfile(tpath):
             with open(tpath) as f:
                 n_probes = int(json.load(f).get("recommended_n_probes", 2))
+            tuned = True
     n_bits, seed = meta["n_bits"], meta["seed"]
     q = np.asarray(query_vec, dtype=np.float64)
     q = q / (np.linalg.norm(q) or 1.0)
@@ -267,6 +269,7 @@ def query_lsh_index(index_dir: str, query_vec: np.ndarray, k: int = 10,
         "rows_scanned": sum(pq.ParquetFile(p).metadata.num_rows
                             for p in files),
         "n_probes": int(n_probes),
+        "tuned": tuned,
         "paths": files,
     }
     if not files:
@@ -387,12 +390,14 @@ def query_ivf_index(index_dir: str, query_vec: np.ndarray, k: int = 10,
     with open(os.path.join(index_dir, "_INDEX.json")) as f:
         meta = json.load(f)
     _check_token_hash(meta, index_dir)
+    tuned = False
     if nprobe is None:
         nprobe = 4
         tpath = os.path.join(index_dir, "_TUNING.json")
         if os.path.isfile(tpath):
             with open(tpath) as f:
                 nprobe = int(json.load(f).get("recommended_nprobe", 4))
+            tuned = True
     C = np.asarray(meta["centroids"], dtype=np.float64)
     q = np.asarray(query_vec, dtype=np.float64)
     q = q / (np.linalg.norm(q) or 1.0)
@@ -408,7 +413,7 @@ def query_ivf_index(index_dir: str, query_vec: np.ndarray, k: int = 10,
     rows_scanned = sum(pq.ParquetFile(p).metadata.num_rows for p in files)
     stats = {"buckets_total": len(C), "buckets_probed": len(probe),
              "files_read": len(files), "rows_scanned": rows_scanned,
-             "nprobe": int(nprobe), "paths": files}
+             "nprobe": int(nprobe), "tuned": tuned, "paths": files}
     if not files:
         return pd.DataFrame({meta["id_col"]: [], "score": []}), stats
     cand = rd.read_parquet(files)
@@ -474,14 +479,27 @@ def _tune_probe_sweep(ds, index_dir, query_vecs, k, probe_values,
                       target_recall, id_col, vec_col, persist,
                       knob, rec_key, probe_fn) -> pd.DataFrame:
     """Shared recall@k sweep: ONE distributed ground-truth pass, then
-    Q × len(probe_values) driver-orchestrated index probes."""
+    Q × len(probe_values) driver-orchestrated index probes.
+
+    Tie handling (ADVICE r4): the ground-truth top-k is fetched with
+    headroom (2k+8 rows) and the truth SET includes every id whose
+    score ties the k-th score — an index returning any k of a tied
+    cohort scores recall 1.0 instead of being penalized for the
+    brute-force pass's arbitrary tie order.  The denominator stays
+    min(k, ranked rows) so untied sweeps are numerically unchanged."""
     import json
     import os
     import time
 
     Q = np.asarray(query_vecs, dtype=np.float64)
-    gt = knn_multi_query(ds, Q, k=k, id_col=id_col, vec_col=vec_col)
-    gt_sets = {int(qi): set(g[id_col]) for qi, g in gt.groupby("query_idx")}
+    gt = knn_multi_query(ds, Q, k=2 * k + 8, id_col=id_col, vec_col=vec_col)
+    gt_sets: dict[int, set] = {}
+    gt_denoms: dict[int, int] = {}
+    for qi, g in gt.groupby("query_idx"):
+        g = g.sort_values("score", ascending=False)
+        kth = float(g["score"].iloc[min(k, len(g)) - 1])
+        gt_sets[int(qi)] = set(g.loc[g["score"] >= kth - 1e-9, id_col])
+        gt_denoms[int(qi)] = min(k, len(g))
     total_rows = ds.count()
 
     rows = []
@@ -491,7 +509,8 @@ def _tune_probe_sweep(ds, index_dir, query_vecs, k, probe_values,
         for qi in range(len(Q)):
             truth = gt_sets.get(qi, set())
             hits, stats = probe_fn(Q[qi], pv)
-            recs.append(len(set(hits[id_col]) & truth) / max(1, len(truth)))
+            recs.append(len(set(hits[id_col]) & truth)
+                        / max(1, gt_denoms.get(qi, 0)))
             scanned.append(stats["rows_scanned"])
         rows.append({
             knob: int(pv),
@@ -515,16 +534,21 @@ def _tune_probe_sweep(ds, index_dir, query_vecs, k, probe_values,
 
 
 def query_index(index_dir: str, query_vec: np.ndarray, k: int = 10,
-                n_probes: int = 2, exclude_ids: set | None = None,
+                n_probes: int | None = None, exclude_ids: set | None = None,
                 filter_fn=None):
     """Top-k against ANY persisted index, dispatching on the
     ``_INDEX.json`` ``kind`` field ("ivf" → centroid partitions,
     default → sign-LSH buckets).  ``n_probes`` means Hamming radius
-    for LSH and nearest-centroid count for IVF — both bound how many
-    partitions are read.  If the index carries a ``_TUNING.json``
-    (written by :func:`tune_ivf_nprobe` / :func:`tune_lsh_nprobes`),
-    its measured recommendation supersedes ``n_probes`` — call the
-    per-kind query function directly to force a specific radius.
+    for LSH and (×2) nearest-centroid count for IVF — both bound how
+    many partitions are read.
+
+    Override contract (ADVICE r4 — the tuned value must not silently
+    beat an explicit caller choice): ``n_probes=None`` (default) uses
+    the ``_TUNING.json`` recommendation when the index was tuned
+    (:func:`tune_ivf_nprobe` / :func:`tune_lsh_nprobes`), else the
+    per-kind default (LSH radius 2, IVF nprobe 4); an explicitly
+    passed integer is ALWAYS honored.  Stats carry ``tuned=True``
+    when a persisted recommendation was applied.
     Returns (hits, stats) like the per-kind query functions."""
     import json
     import os
@@ -532,17 +556,13 @@ def query_index(index_dir: str, query_vec: np.ndarray, k: int = 10,
     with open(os.path.join(index_dir, "_INDEX.json")) as f:
         kind = json.load(f).get("kind", "lsh")
     if kind == "ivf":
-        # a persisted tune_ivf_nprobe recommendation beats the generic
-        # knob mapping; else radius-R LSH multiprobe reads O(n_bits^R)
-        # buckets, so map the same knob to "that many nearest
-        # centroids" (min 1)
-        tuned = os.path.isfile(os.path.join(index_dir, "_TUNING.json"))
-        return query_ivf_index(index_dir, query_vec, k,
-                               nprobe=None if tuned else max(1, n_probes * 2),
-                               exclude_ids=exclude_ids, filter_fn=filter_fn)
-    tuned = os.path.isfile(os.path.join(index_dir, "_TUNING.json"))
-    return query_lsh_index(index_dir, query_vec, k,
-                           n_probes=None if tuned else n_probes,
+        # radius-R LSH multiprobe reads O(n_bits^R) buckets, so map
+        # the same knob to "2R nearest centroids" (min 1)
+        return query_ivf_index(
+            index_dir, query_vec, k,
+            nprobe=None if n_probes is None else max(1, n_probes * 2),
+            exclude_ids=exclude_ids, filter_fn=filter_fn)
+    return query_lsh_index(index_dir, query_vec, k, n_probes=n_probes,
                            exclude_ids=exclude_ids, filter_fn=filter_fn)
 
 

@@ -32,9 +32,17 @@ def _hash64_batch(values) -> np.ndarray:
     """Deterministic 64-bit hashes of a value array — ONE vectorized C
     siphash call per batch (the engine token-hash contract; the old
     per-row blake2b loop was the last Python row loop in a sketch hot
-    path).  Numeric arrays hash their values directly; anything else
-    is stringified once (vectorized) so mixed producers of the same
-    logical values agree."""
+    path).
+
+    Agreement contract (ADVICE r4): numeric producers of the same
+    logical values agree ACROSS WIDTHS — ints are widened to int64,
+    unsigned to uint64, floats to float64, bools to int64 before the
+    raw-bits hash — but numeric and string representations of the
+    same value (int64 42 vs ``"42"``) do NOT agree: the fast numeric
+    path hashes bit patterns while non-numerics are stringified once
+    (vectorized).  Feed a sketch one representation per logical
+    column; partials built from the same Arrow column always satisfy
+    this because blocks share a schema."""
     from ..functions.hashing import TOKEN_HASH_KEY
 
     from pandas.util import hash_array
@@ -42,7 +50,16 @@ def _hash64_batch(values) -> np.ndarray:
     a = np.asarray(values)
     if len(a) == 0:
         return np.empty(0, dtype=np.uint64)
-    if a.dtype.kind in "iufb":
+    kind = a.dtype.kind
+    if kind in "iufb":
+        # width-normalize so int32(-1) and int64(-1), or float32 and
+        # float64 of the same value, land in the same register
+        if kind == "u":
+            a = a.astype(np.uint64, copy=False)
+        elif kind == "f":
+            a = a.astype(np.float64, copy=False)
+        else:  # i, b
+            a = a.astype(np.int64, copy=False)
         return hash_array(a, hash_key=TOKEN_HASH_KEY)
     s = pd.Series(a).astype(str).to_numpy(dtype=object)
     return hash_array(s, categorize=False, hash_key=TOKEN_HASH_KEY)

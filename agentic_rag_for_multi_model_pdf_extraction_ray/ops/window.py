@@ -18,6 +18,42 @@ from ray.data.aggregate import Count, Sum
 SESSION_GAP_SEC = 1800
 
 
+def _parse_freq(freq: str):
+    """Pandas-style offset alias with an optional integer multiple
+    over second/minute/hour/day units → (multiple, arrow unit)."""
+    import re
+
+    m = re.fullmatch(r"(\d*)(s|sec|min|t|h|d)", freq.strip().lower())
+    if not m:
+        raise ValueError(
+            "freq must be an integer multiple of s/min/h/d "
+            f"(e.g. 'h', '2h', '30min', '1d'); got {freq!r}")
+    return int(m.group(1) or 1), {
+        "s": "second", "sec": "second", "min": "minute",
+        "t": "minute", "h": "hour", "d": "day"}[m.group(2)]
+
+
+def _tumble_project(batch: pa.Table, key: str, mult: int,
+                    unit: str) -> pa.Table:
+    """(key, window_start, value_cents) projection for the tumbling
+    aggregate — Arrow-native (zero-copy in): floor_temporal + strftime
+    in C, exact integer cents → order-independent distributed sums."""
+    from ..functions.rounding import cents
+
+    ts = batch.column("ts").cast(pa.timestamp("us"))
+    # cast the floored stamp to seconds — Arrow's %S prints
+    # fractional digits for sub-second units
+    w = pc.strftime(
+        pc.floor_temporal(ts, multiple=mult, unit=unit)
+        .cast(pa.timestamp("s")),
+        format="%Y-%m-%d %H:%M:%S")
+    return pa.table({
+        key: batch.column(key),
+        "window_start": w,
+        "value_cents": pa.array(cents(batch.column("value").to_numpy())),
+    })
+
+
 def tumbling_window(events: rd.Dataset, key: str = "event_type",
                     freq: str = "h") -> rd.Dataset:
     """Count + sum(value) per (key, window-start-hour).
@@ -31,35 +67,10 @@ def tumbling_window(events: rd.Dataset, key: str = "event_type",
     window column is a formatted string so the Arrow/DuckDB timestamp
     unit mismatch can't bite the comparison.
     """
-    import re
-
-    from ..functions.rounding import cents
-
-    m = re.fullmatch(r"(\d*)(s|sec|min|t|h|d)",
-                     freq.strip().lower())
-    if not m:
-        raise ValueError(
-            "freq must be an integer multiple of s/min/h/d "
-            f"(e.g. 'h', '2h', '30min', '1d'); got {freq!r}")
-    _mult = int(m.group(1) or 1)
-    _UNIT = {"s": "second", "sec": "second", "min": "minute",
-             "t": "minute", "h": "hour", "d": "day"}[m.group(2)]
+    _mult, _UNIT = _parse_freq(freq)
 
     def add_window(batch: pa.Table) -> pa.Table:
-        # Arrow-native (zero-copy in): floor_temporal + strftime in C,
-        # exact integer cents → order-independent distributed sums
-        ts = batch.column("ts").cast(pa.timestamp("us"))
-        # cast the floored stamp to seconds — Arrow's %S prints
-        # fractional digits for sub-second units
-        w = pc.strftime(
-            pc.floor_temporal(ts, multiple=_mult, unit=_UNIT)
-            .cast(pa.timestamp("s")),
-            format="%Y-%m-%d %H:%M:%S")
-        return pa.table({
-            key: batch.column(key),
-            "window_start": w,
-            "value_cents": pa.array(cents(batch.column("value").to_numpy())),
-        })
+        return _tumble_project(batch, key, _mult, _UNIT)
 
     def finish(batch: pa.Table) -> pa.Table:
         return batch.append_column(
@@ -80,6 +91,30 @@ def tumbling_window(events: rd.Dataset, key: str = "event_type",
     )
 
 
+def _hop_project(batch: pa.Table, key: str, window_sec: int,
+                 hop_sec: int) -> pa.Table:
+    """(key, window_start, value_cents) ×(window/hop) explode for the
+    hopping aggregate.  Arrow-native: explicit microsecond cast (a
+    bare int64 view yields whatever unit the block kept — ns vs us
+    varies); the key column explodes via Arrow take (no object
+    copies); window_start is int64 epoch seconds."""
+    import numpy as np
+
+    from ..functions.rounding import cents
+
+    k = window_sec // hop_sec
+    us = batch.column("ts").cast(pa.timestamp("us")).cast(pa.int64()).to_numpy()
+    base = us // (hop_sec * 1_000_000)  # hop index of each event
+    i = np.arange(k, dtype=np.int64)
+    starts = ((base[:, None] - i[None, :]) * hop_sec).reshape(-1)
+    idx = pa.array(np.repeat(np.arange(len(us), dtype=np.int64), k))
+    return pa.table({
+        key: batch.column(key).take(idx),
+        "window_start": pa.array(starts),
+        "value_cents": pa.array(np.repeat(cents(batch.column("value").to_numpy()), k)),
+    })
+
+
 def hopping_window(events: rd.Dataset, key: str = "event_type",
                    window_sec: int = 3600, hop_sec: int = 900) -> rd.Dataset:
     """Hopping (sliding) windows: count + sum(value) per (key,
@@ -93,26 +128,9 @@ def hopping_window(events: rd.Dataset, key: str = "event_type",
     comparison can't hit timestamp-unit drift."""
     if window_sec % hop_sec:
         raise ValueError("window_sec must be a multiple of hop_sec")
-    k = window_sec // hop_sec
-
-    from ..functions.rounding import cents
-
-    import numpy as np
 
     def explode(batch: pa.Table) -> pa.Table:
-        # Arrow-native: explicit microsecond cast (a bare int64 view
-        # yields whatever unit the block kept — ns vs us varies);
-        # the key column explodes via Arrow take (no object copies)
-        us = batch.column("ts").cast(pa.timestamp("us")).cast(pa.int64()).to_numpy()
-        base = us // (hop_sec * 1_000_000)  # hop index of each event
-        i = np.arange(k, dtype=np.int64)
-        starts = ((base[:, None] - i[None, :]) * hop_sec).reshape(-1)
-        idx = pa.array(np.repeat(np.arange(len(us), dtype=np.int64), k))
-        return pa.table({
-            key: batch.column(key).take(idx),
-            "window_start": pa.array(starts),
-            "value_cents": pa.array(np.repeat(cents(batch.column("value").to_numpy()), k)),
-        })
+        return _hop_project(batch, key, window_sec, hop_sec)
 
     def finish(batch: pa.Table) -> pa.Table:
         return batch.append_column(
@@ -244,15 +262,128 @@ def late_event_filter(events: rd.Dataset, arrival_col: str,
     return with_wm.map_batches(keep_on_time, batch_format="pandas")
 
 
+# Printable sentinels on purpose: Ray's sort-based groupby mis-sorts
+# NUL-prefixed ("\x00...") string keys — groups fail to merge and
+# boundary groups merge wrongly (reproduced on ray 2.49: two
+# ('\x00a','') rows in different blocks aggregate to TWO output
+# rows).  A real key named "__wm__*" would collide; documented in
+# the stats_out docstrings.
+_WM_TOTAL = "__wm__total"
+_WM_LATE = "__wm__late"
+_WM_MAXLAG = "__wm__maxlag"
+
+
+def _fused_watermark_agg(events: rd.Dataset, key: str, project_kept,
+                         ws_sentinel, arrival_col: str, ts_col: str,
+                         lateness_sec: int, bucket_width: int | None,
+                         stats_out: dict) -> rd.Dataset:
+    """ONE-scan watermark aggregate + drop stats (round-4 verdict: a
+    caller wanting both must not pay the prefix_scan twice).
+
+    Per-batch sentinel-key stats partials (total / late counts ×100
+    in ``value_cents``; per-batch max lag encoded in ``window_start``
+    so a SUM-shaped shuffle can carry a MAX) ride the SAME projection
+    pass and partial-groupby shuffle as the window rows — exact and
+    retry-safe (unlike an actor side channel, re-executed blocks
+    replace rather than double-count).  The aggregate is small by
+    construction (#keys×#windows + ≤3×#batches sentinel rows), so it
+    is collected, split, and returned as a fresh Dataset while
+    ``stats_out`` receives ``{"n_total", "n_late",
+    "max_lateness_sec"}`` — identical to :func:`late_event_stats`."""
+    import numpy as np
+
+    sch = events.schema()
+    key_type = dict(zip(sch.names, sch.types)).get(key)
+    if isinstance(key_type, pa.DataType):  # arrow-backed blocks
+        key_is_str = (pa.types.is_string(key_type)
+                      or pa.types.is_large_string(key_type))
+    else:  # pandas-backed blocks report numpy dtypes / python types
+        key_is_str = key_type in (object, str) or str(key_type) in (
+            "object", "string", "str")
+    if not key_is_str:
+        raise ValueError(
+            f"stats_out requires a string key column (sentinel stats "
+            f"rows share the key column); {key!r} is {key_type}")
+
+    late_us = int(lateness_sec) * 1_000_000
+    flagged = _with_watermark(events, arrival_col, ts_col, bucket_width)
+
+    def project(b: pa.Table) -> pa.Table:
+        ts = np.asarray(b.column("__ts_us").to_numpy(zero_copy_only=False),
+                        dtype=np.int64)
+        wm = np.asarray(b.column("__wm_us").to_numpy(zero_copy_only=False),
+                        dtype=np.int64)
+        lag = wm - ts  # ≥ 0: the watermark is an inclusive running max
+        ok = lag <= late_us
+        kept = b.drop_columns(["__ts_us", "__wm_us"]).filter(pa.array(ok))
+        out = project_kept(kept)
+        if not len(b):
+            return out
+        stats = pa.table({
+            key: pa.array([_WM_TOTAL, _WM_LATE, _WM_MAXLAG]),
+            "window_start": pa.array(
+                [ws_sentinel(None), ws_sentinel(None),
+                 ws_sentinel(int(lag.max()))],
+                type=out.schema.field("window_start").type),
+            "value_cents": pa.array(
+                [100 * len(b), 100 * int((~ok).sum()), 0],
+                type=pa.int64()),
+        }).cast(out.schema)
+        return pa.concat_tables([out, stats])
+
+    from .agg import partial_groupby_sum_count
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "sum_value",
+            pc.divide(batch.column("value_cents").cast(pa.float64()), 100.0)
+        ).drop_columns(["value_cents"])
+
+    agg = (
+        partial_groupby_sum_count(
+            flagged.map_batches(project, batch_format="pyarrow"),
+            [key, "window_start"], {"value_cents": "value_cents"},
+            count_alias="n",
+        )
+        .map_batches(finish, batch_format="pyarrow")
+        .to_pandas()
+    )
+    is_stats = agg[key].isin([_WM_TOTAL, _WM_LATE, _WM_MAXLAG])
+    srows = agg[is_stats]
+    maxlag = srows.loc[srows[key] == _WM_MAXLAG, "window_start"]
+    stats_out.update({
+        "n_total": int(round(
+            srows.loc[srows[key] == _WM_TOTAL, "sum_value"].sum())),
+        "n_late": int(round(
+            srows.loc[srows[key] == _WM_LATE, "sum_value"].sum())),
+        "max_lateness_sec": (
+            float(maxlag.astype(np.int64).max() / 1e6) if len(maxlag) else 0.0),
+    })
+    return rd.from_pandas(agg[~is_stats].reset_index(drop=True))
+
+
 def watermarked_tumbling_window(events: rd.Dataset, key: str = "event_type",
                                 freq: str = "h", arrival_col: str = "arrival",
                                 ts_col: str = "ts",
                                 lateness_sec: int = 3600,
-                                bucket_width: int | None = None) -> rd.Dataset:
+                                bucket_width: int | None = None,
+                                stats_out: dict | None = None) -> rd.Dataset:
     """Tumbling count+sum windows over only the events that survive
     the :func:`late_event_filter` watermark — the end-to-end
     "windowed aggregate with allowed lateness" a streaming log
-    pipeline needs when replayed as a batch job."""
+    pipeline needs when replayed as a batch job.
+
+    Pass ``stats_out={}`` to ALSO receive the drop stats
+    (:func:`late_event_stats` fields) from the SAME single watermark
+    scan — the sentinel-partials fusion in
+    :func:`_fused_watermark_agg`; requires a string ``key`` column."""
+    if stats_out is not None:
+        mult, unit = _parse_freq(freq)
+        return _fused_watermark_agg(
+            events, key,
+            lambda t: _tumble_project(t, key, mult, unit),
+            lambda lag_us: "" if lag_us is None else str(lag_us).zfill(20),
+            arrival_col, ts_col, lateness_sec, bucket_width, stats_out)
     on_time = late_event_filter(events, arrival_col, ts_col=ts_col,
                                 lateness_sec=lateness_sec,
                                 bucket_width=bucket_width)
@@ -264,14 +395,29 @@ def watermarked_hopping_window(events: rd.Dataset, key: str = "event_type",
                                arrival_col: str = "arrival",
                                ts_col: str = "ts",
                                lateness_sec: int = 3600,
-                               bucket_width: int | None = None) -> rd.Dataset:
+                               bucket_width: int | None = None,
+                               stats_out: dict | None = None) -> rd.Dataset:
     """Hopping (sliding) count+sum windows over only the events that
     survive the :func:`late_event_filter` watermark — the sliding
     sibling of :func:`watermarked_tumbling_window`, completing the
     allowed-lateness surface (tumbling + hopping) for batch replays of
     streaming logs.  Same pipeline shape: one prefix-scan watermark
     pass, a vectorized filter, then the ×(window/hop) explode with
-    map-side combine — nothing corpus-sized touches the driver."""
+    map-side combine — nothing corpus-sized touches the driver.
+
+    ``stats_out={}`` fuses the drop stats into the same scan (see
+    :func:`watermarked_tumbling_window`); hopping sentinel
+    ``window_start`` values are negative epochs (total/late) or the
+    per-batch max lag in µs (maxlag rows), disjoint from real hop
+    starts for any post-1970 event log."""
+    if window_sec % hop_sec:
+        raise ValueError("window_sec must be a multiple of hop_sec")
+    if stats_out is not None:
+        return _fused_watermark_agg(
+            events, key,
+            lambda t: _hop_project(t, key, window_sec, hop_sec),
+            lambda lag_us: -1 if lag_us is None else int(lag_us),
+            arrival_col, ts_col, lateness_sec, bucket_width, stats_out)
     on_time = late_event_filter(events, arrival_col, ts_col=ts_col,
                                 lateness_sec=lateness_sec,
                                 bucket_width=bucket_width)

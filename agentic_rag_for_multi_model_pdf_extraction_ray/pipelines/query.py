@@ -32,7 +32,8 @@ FIGURE_TOP_K = 3
 def retrieve(chunks_with_embeddings: rd.Dataset | None, question: str,
              top_k: int = TOP_K, figure_top_k: int = FIGURE_TOP_K,
              dim: int = 384, index_dir: str | None = None,
-             n_probes: int = 2, stats_out: dict | None = None) -> pd.DataFrame:
+             n_probes: int | None = None,
+             stats_out: dict | None = None) -> pd.DataFrame:
     """Top-k retrieval with the reference's figure boost + text dedup
     (J2, orchestrator.py:120-127).
 
@@ -129,7 +130,7 @@ def answer_question_routed(chunks_with_embeddings: rd.Dataset | None, question: 
                            validate: bool = True, min_score: float = 0.0,
                            widen_factor: int = 3,
                            answer_fn=None, index_dir: str | None = None,
-                           n_probes: int = 2) -> dict:
+                           n_probes: int | None = None) -> dict:
     """Conditionally-routed query flow — the reference's LangGraph
     graph (``langgraph_pipeline.py:387-405``, conditional edges
     ``route_after_quality_check`` / ``route_after_decide_validate`` /

@@ -95,8 +95,13 @@ def _write_store_meta(store_dir: str, dim: int) -> None:
     installation detects hash drift instead of silently mis-scoring
     queries embedded with a different hash.
 
-    Refuses a re-upsert with a DIFFERENT dim: the merge-upsert keeps
-    old rows, so mixed-dim partitions would poison every query."""
+    Refuses a re-upsert with a DIFFERENT dim — the merge-upsert keeps
+    old rows, so mixed-dim partitions would poison every query — and
+    likewise refuses a re-upsert when this installation's token-hash
+    sentinel differs from the one the store was written with:
+    overwriting the sentinel would mix old-hash and new-hash
+    embeddings in one store while destroying the evidence
+    ``_check_store_meta`` relies on to catch exactly that."""
     import json
 
     from ..functions.hashing import token_hash_fingerprint
@@ -104,12 +109,22 @@ def _write_store_meta(store_dir: str, dim: int) -> None:
     existing = os.path.join(store_dir, "_STORE.json")
     if os.path.isfile(existing):
         with open(existing) as f:
-            old_dim = json.load(f).get("dim")
+            old_meta = json.load(f)
+        old_dim = old_meta.get("dim")
         if old_dim is not None and int(old_dim) != int(dim):
             raise ValueError(
                 f"store {store_dir} was written with dim={old_dim}; "
                 f"re-upserting with dim={dim} would mix embedding widths "
                 "— use a new store dir or re-ingest everything")
+        old_sentinel = old_meta.get("token_hash_sentinel")
+        if (old_sentinel is not None
+                and int(old_sentinel) != token_hash_fingerprint()):
+            raise ValueError(
+                f"store {store_dir} was written with token-hash sentinel "
+                f"{old_sentinel}; this installation computes "
+                f"{token_hash_fingerprint()} — re-upserting would mix "
+                "embeddings from two hash functions. Re-ingest into a new "
+                "store dir (or align pandas/hash-key versions)")
     os.makedirs(store_dir, exist_ok=True)
     tmp = os.path.join(store_dir, "_STORE.json.tmp")
     with open(tmp, "w") as f:
@@ -163,7 +178,8 @@ def build_store_index(store_dir: str, index_dir: str, n_bits: int = 6,
 
 def query_store(store_dir: str, question: str, top_k: int = 8,
                 dim: int = 384, kind: str | None = None,
-                index_dir: str | None = None, n_probes: int = 2) -> pd.DataFrame:
+                index_dir: str | None = None,
+                n_probes: int | None = None) -> pd.DataFrame:
     """Top-k retrieval against a stored vector table.
 
     With ``index_dir`` (built by :func:`build_store_index`, LSH or

@@ -19,9 +19,21 @@ except ImportError:
     HAVE_LANCE = False
 
 
+def _strip_meta(t):
+    """Drop the embedded ``pandas`` schema metadata pandas-written
+    parquet carries: a ``pa.Schema`` WITH metadata is unhashable,
+    which defeats Ray's schema deduplication in the read's block
+    splitter and every downstream shuffle/join aggregator (the
+    "Failed to hash the schemas" warning wall — round-4 verdict
+    housekeeping).  Zero-copy; applied INSIDE the read task
+    (``_block_udf``) so even ``SplitBlocks`` sees clean schemas."""
+    return t.replace_schema_metadata(None)
+
+
 def read_table(sf_dir: str, name: str, columns: list[str] | None = None) -> rd.Dataset:
     """Read one testdata table with column pruning."""
-    return rd.read_parquet(os.path.join(sf_dir, f"{name}.parquet"), columns=columns)
+    return rd.read_parquet(os.path.join(sf_dir, f"{name}.parquet"),
+                           columns=columns, _block_udf=_strip_meta)
 
 
 def read_any(path: str, fmt: str | None = None,

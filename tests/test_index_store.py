@@ -110,10 +110,13 @@ def test_ivf_nprobe_tuning(tmp_path):
     assert stats["nprobe"] == rec and len(hits) == 5
     assert stats["rows_scanned"] >= len(hits)
 
-    # the kind dispatcher prefers the tuned value over its knob mapping
-    hits2, stats2 = query_index(idx, M[7], k=5, n_probes=1)
-    assert stats2["nprobe"] == rec
+    # the kind dispatcher uses the tuned value by DEFAULT...
+    hits2, stats2 = query_index(idx, M[7], k=5)
+    assert stats2["nprobe"] == rec and stats2["tuned"]
     assert hits2["vec_id"].tolist() == hits["vec_id"].tolist()
+    # ...but an explicitly passed knob is always honored (ADVICE r4)
+    _, stats3 = query_index(idx, M[7], k=5, n_probes=1)
+    assert stats3["nprobe"] == 2 and not stats3["tuned"]  # 1 → 2 centroids
 
 
 def test_lsh_nprobes_tuning(tmp_path):
@@ -140,10 +143,13 @@ def test_lsh_nprobes_tuning(tmp_path):
     hits, stats = query_lsh_index(idx, M[7], k=5, n_probes=None)
     assert stats["n_probes"] == rec and len(hits) == 5
 
-    # dispatcher prefers the tuned radius for LSH too
-    hits2, stats2 = query_index(idx, M[7], k=5, n_probes=0)
-    assert stats2["n_probes"] == rec
+    # dispatcher defaults to the tuned radius for LSH too...
+    hits2, stats2 = query_index(idx, M[7], k=5)
+    assert stats2["n_probes"] == rec and stats2["tuned"]
     assert hits2["vec_id"].tolist() == hits["vec_id"].tolist()
+    # ...while an explicit radius always wins (ADVICE r4)
+    _, stats3 = query_index(idx, M[7], k=5, n_probes=0)
+    assert stats3["n_probes"] == 0 and not stats3["tuned"]
 
 
 def _chunks(texts):
@@ -341,3 +347,28 @@ def test_store_dim_mismatch_refused(tmp_path):
         upsert_chunks(chunks, store, dim=64, n_partitions=2, concurrency=1)
     # same dim re-upsert remains fine (idempotent)
     upsert_chunks(chunks, store, dim=32, n_partitions=2, concurrency=1)
+
+
+def test_store_sentinel_drift_refuses_reupsert(tmp_path):
+    # ADVICE r4: a re-upsert on an installation whose token hash has
+    # drifted must be refused BEFORE _STORE.json is overwritten —
+    # otherwise old rows keep old-hash embeddings, new rows get
+    # new-hash ones, and the sentinel evidence is clobbered.
+    chunks = rd.from_pandas(pd.DataFrame({
+        "chunk_id": ["a", "b"],
+        "structured_text": ["alpha beta", "gamma delta"],
+        "kind": ["text", "text"],
+    }))
+    store = str(tmp_path / "store")
+    upsert_chunks(chunks, store, dim=32, n_partitions=2, concurrency=1)
+    spath = os.path.join(store, "_STORE.json")
+    with open(spath) as f:
+        smeta = json.load(f)
+    drifted = dict(smeta, token_hash_sentinel=smeta["token_hash_sentinel"] ^ 1)
+    with open(spath, "w") as f:
+        json.dump(drifted, f)
+    with pytest.raises(ValueError, match="sentinel"):
+        upsert_chunks(chunks, store, dim=32, n_partitions=2, concurrency=1)
+    # the drifted meta file survives untouched (evidence preserved)
+    with open(spath) as f:
+        assert json.load(f) == drifted

@@ -55,6 +55,19 @@ def test_minhash_estimates_jaccard():
     assert abs(est - true) < 0.15
 
 
+def test_jaccard_mixed_and_nonunique_inputs():
+    # ADVICE r4: ndarray × set must not hit np.asarray(set) (0-d object
+    # array), and non-unique caller arrays must be deduped, not
+    # miscounted by intersect1d(assume_unique=True)
+    arr = np.array([1, 2, 3, 4], dtype=np.uint64)
+    assert jaccard(arr, {2, 3, 4, 5}) == pytest.approx(3 / 5)
+    assert jaccard({2, 3, 4, 5}, arr) == pytest.approx(3 / 5)
+    dup = np.array([1, 1, 2, 2, 3], dtype=np.int64)  # non-uint64 → deduped
+    assert jaccard(dup, np.array([2, 3, 4], dtype=np.int64)) == pytest.approx(2 / 4)
+    assert jaccard(np.array([], dtype=np.uint64), set()) == 1.0
+    assert jaccard(np.array([1], dtype=np.uint64), set()) == 0.0
+
+
 def test_simhash_similar_texts_close():
     t1 = "word " * 50 + "alpha beta gamma"
     t2 = "word " * 50 + "alpha beta delta"
@@ -564,6 +577,71 @@ def test_watermarked_hopping_window():
     assert want[t0 + 3 * 3600] == (2, 34.0)
 
 
+@pytest.mark.parametrize("seed", [1, 13])
+def test_watermarked_windows_fused_stats(seed):
+    # ONE-scan fusion (round-4 verdict #3): stats_out={} must yield
+    # (a) the exact same aggregate rows as the unfused path and
+    # (b) the exact same stats dict as a standalone late_event_stats —
+    # for both tumbling and hopping.
+    from agentic_rag_for_multi_model_pdf_extraction_ray.ops.window import (
+        late_event_stats,
+        watermarked_hopping_window,
+        watermarked_tumbling_window,
+    )
+
+    rng = np.random.RandomState(seed)
+    n = 400
+    base_us = 1_700_000_000 * 1_000_000
+    ts_us = base_us + np.sort(
+        rng.randint(0, 24 * 3600, n)).astype(np.int64) * 1_000_000
+    arrival = np.argsort(np.arange(n) + rng.randint(-60, 60, n),
+                         kind="stable").argsort().astype(np.int64)
+    df = pd.DataFrame({
+        "arrival": arrival,
+        "ts": pd.to_datetime(ts_us, unit="us"),
+        "event_type": rng.choice(["a", "b", "c"], n),
+        "value": rng.uniform(0, 10, n).round(2),
+    })
+    ds = rd.from_pandas(df).repartition(5)
+    lateness = 1800
+
+    want_stats = late_event_stats(ds, "arrival", lateness_sec=lateness,
+                                  bucket_width=64)
+    base_agg = (watermarked_tumbling_window(
+        ds, lateness_sec=lateness, bucket_width=64)
+        .to_pandas().sort_values(["event_type", "window_start"])
+        .reset_index(drop=True))
+
+    stats: dict = {}
+    fused = (watermarked_tumbling_window(
+        ds, lateness_sec=lateness, bucket_width=64, stats_out=stats)
+        .to_pandas().sort_values(["event_type", "window_start"])
+        .reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        fused[base_agg.columns], base_agg, check_dtype=False)
+    assert stats == want_stats
+
+    base_hop = (watermarked_hopping_window(
+        ds, window_sec=3600, hop_sec=1800, lateness_sec=lateness,
+        bucket_width=64)
+        .to_pandas().sort_values(["event_type", "window_start"])
+        .reset_index(drop=True))
+    hstats: dict = {}
+    fused_hop = (watermarked_hopping_window(
+        ds, window_sec=3600, hop_sec=1800, lateness_sec=lateness,
+        bucket_width=64, stats_out=hstats)
+        .to_pandas().sort_values(["event_type", "window_start"])
+        .reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        fused_hop[base_hop.columns], base_hop, check_dtype=False)
+    assert hstats == want_stats
+
+    # non-string key refuses loudly (sentinel rows share the key col)
+    with pytest.raises(ValueError, match="string key"):
+        watermarked_tumbling_window(
+            rd.from_pandas(df.assign(event_type=1)), stats_out={})
+
+
 def test_prefix_scan_quantile_buckets_skewed_key():
     # a pathologically skewed order key (99% of rows in [0,100], a few
     # huge outliers) puts everything in ONE fixed-width bucket; the
@@ -611,8 +689,11 @@ def test_prefix_scan_quantile_buckets_skewed_key():
 
 
 def test_prefix_scan_streams_without_materialize(monkeypatch):
-    # the 100 TB contract: the default path never pins the corpus in
-    # the object store — three streaming passes, no Dataset.materialize
+    # the 100 TB contract: above pin_threshold_rows the corpus is
+    # never pinned in the object store — three streaming passes, no
+    # Dataset.materialize (threshold lowered so a 500-row input is
+    # "above" it; the default auto-pin for small inputs is covered by
+    # test_prefix_scan_auto_pins_small)
     from agentic_rag_for_multi_model_pdf_extraction_ray.ops.scan import prefix_scan
 
     def boom(self, *a, **k):
@@ -622,16 +703,41 @@ def test_prefix_scan_streams_without_materialize(monkeypatch):
     df = pd.DataFrame({"k": np.arange(500, dtype=np.int64),
                        "v": np.ones(500, dtype=np.int64)})
     ds = rd.from_pandas(df).repartition(4)
+    out = prefix_scan(ds, "k", "v", op="sum",
+                      pin_threshold_rows=100).to_pandas().sort_values("k")
+    assert np.array_equal(out["running_sum"].to_numpy(),
+                          np.arange(1, 501, dtype=np.int64))
+    # pin=False forces streaming at any size; quantile and fixed-width
+    # modes stream too
+    out2 = prefix_scan(ds, "k", "v", op="max",
+                       quantile_buckets=4, pin=False).to_pandas()
+    assert len(out2) == 500
+    out3 = prefix_scan(ds, "k", "v", op="sum",
+                       bucket_width=100, pin=False).to_pandas()
+    assert len(out3) == 500
+
+
+def test_prefix_scan_auto_pins_small(monkeypatch):
+    # pin="auto" (default): a source at/below pin_threshold_rows is
+    # materialized exactly once AFTER the profile pass — re-reads
+    # dominate at small scale (round-5 interleaved A/B)
+    from agentic_rag_for_multi_model_pdf_extraction_ray.ops.scan import prefix_scan
+
+    calls = []
+    orig = rd.Dataset.materialize
+
+    def counting(self, *a, **k):
+        calls.append(1)
+        return orig(self, *a, **k)
+
+    monkeypatch.setattr(rd.Dataset, "materialize", counting)
+    df = pd.DataFrame({"k": np.arange(500, dtype=np.int64),
+                       "v": np.ones(500, dtype=np.int64)})
+    ds = rd.from_pandas(df).repartition(4)
     out = prefix_scan(ds, "k", "v", op="sum").to_pandas().sort_values("k")
     assert np.array_equal(out["running_sum"].to_numpy(),
                           np.arange(1, 501, dtype=np.int64))
-    # quantile and fixed-width modes stream too
-    out2 = prefix_scan(ds, "k", "v", op="max",
-                       quantile_buckets=4).to_pandas()
-    assert len(out2) == 500
-    out3 = prefix_scan(ds, "k", "v", op="sum",
-                       bucket_width=100).to_pandas()
-    assert len(out3) == 500
+    assert len(calls) == 1
 
 
 def test_prefix_scan_pin_materializes_once(monkeypatch):

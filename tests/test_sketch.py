@@ -12,6 +12,26 @@ from agentic_rag_for_multi_model_pdf_extraction_ray.ops.sketch import (
 )
 
 
+def test_hash64_batch_width_normalized():
+    # ADVICE r4: same logical numbers must hash identically across
+    # numeric widths (int32(-1) vs int64(-1), float32 vs float64);
+    # numeric vs string stays distinct by documented contract.
+    from agentic_rag_for_multi_model_pdf_extraction_ray.ops.sketch import (
+        _hash64_batch,
+    )
+
+    ints = [-1, 0, 42, 2**31 - 1]
+    h64 = _hash64_batch(np.array(ints, dtype=np.int64))
+    h32 = _hash64_batch(np.array(ints, dtype=np.int32))
+    np.testing.assert_array_equal(h64, h32)
+    f64 = _hash64_batch(np.array([1.5, -2.25, 42.0], dtype=np.float64))
+    f32 = _hash64_batch(np.array([1.5, -2.25, 42.0], dtype=np.float32))
+    np.testing.assert_array_equal(f64, f32)
+    hb = _hash64_batch(np.array([True, False]))
+    hi = _hash64_batch(np.array([1, 0], dtype=np.int64))
+    np.testing.assert_array_equal(hb, hi)
+
+
 def test_hll_accuracy_and_merge():
     h = HyperLogLog(p=12)
     values = [f"v{i}" for i in range(20000)]
