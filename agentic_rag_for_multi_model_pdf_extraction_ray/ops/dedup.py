@@ -816,10 +816,13 @@ class SimHashStage:
             with np.errstate(over="ignore"):
                 sigs[nz] = ((v > 0).astype(np.uint64) * pow2[None, :]).sum(
                     axis=1, dtype=np.uint64)
+        # uint64 column, not hex text (round-4 verdict #4): the old
+        # f"{s:016x}" emit + int(h, 16) re-parse in the explode were
+        # the last per-row Python loops in the dedup family
         return pd.DataFrame(
             {
                 self.id_col: batch[self.id_col],
-                "simhash": [f"{int(s):016x}" for s in sigs],
+                "simhash": sigs,
             }
         )
 
@@ -850,9 +853,8 @@ def simhash_near_dup_pairs(ds: rd.Dataset, max_hamming: int = 3,
         import pyarrow as pa
 
         n = batch.num_rows
-        v = np.fromiter(
-            (int(h, 16) for h in batch.column("simhash").to_pylist()),
-            dtype=np.uint64, count=n)
+        v = batch.column("simhash").to_numpy(
+            zero_copy_only=False).astype(np.uint64)
         bands = np.arange(4, dtype=np.uint64)
         key = ((v[:, None] >> (bands[None, :] * np.uint64(16)))
                & np.uint64(0xFFFF)).astype(np.int64)
