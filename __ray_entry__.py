@@ -1374,24 +1374,25 @@ def _q_range_join(sf_dir: str):
 
 
 def _q_cms_heavy_hitters(sf_dir: str):
-    """Count-min sketch frequency estimates over ``events.user_id``
-    (rows-only: CMS is an ε-overcount sketch, not SQL-expressible;
-    tests/test_sketch.py holds the never-undercount + error-bound +
-    distributed-merge oracles).  Driver sees #blocks 64 KiB sketch
-    blobs, never the values."""
+    """Candidates-then-verify heavy hitters over ``documents.text``
+    (ops/sketch.cms_heavy_hitters): ONE fused streaming pass emits
+    per-block CMS partials + local top-candidates (no shuffle at all),
+    the merged sketch ranks the candidates, and a broadcast-filtered
+    second pass exact-counts only the k winners.  Rows-only (CMS is an
+    ε-overcount sketch, not SQL-expressible); the returned rows carry
+    their own correctness envelope — ``est_count ≥ exact_count``
+    always, ``est_count − exact_count ≤ envelope = ceil(e/width·N)``
+    w.p. 1−e^-depth — and tests/test_sketch.py asserts both against
+    the exact bounded-bucket top_tokens oracle."""
     from agentic_rag_for_multi_model_pdf_extraction_ray.ops.sketch import (
-        cms_estimate,
-        count_min,
+        cms_heavy_hitters,
     )
     from agentic_rag_for_multi_model_pdf_extraction_ray.sources.corpus import (
         read_table,
     )
 
-    ev = read_table(sf_dir, "events", columns=["user_id"])
-    sk = count_min(ev, "user_id", width=4096, depth=4)
-    ids = list(range(10))
-    return pd.DataFrame({"user_id": ids,
-                         "est_count": cms_estimate(sk, ids).astype("int64")})
+    docs = read_table(sf_dir, "documents", columns=["text"])
+    return cms_heavy_hitters(docs, "text", k=20, width=8192, depth=4)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:

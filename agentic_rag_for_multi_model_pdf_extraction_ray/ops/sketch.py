@@ -336,6 +336,98 @@ def count_min(ds: rd.Dataset, col: str, width: int = 2048,
     return out
 
 
+def cms_heavy_hitters(ds: rd.Dataset, text_col: str, k: int = 20,
+                      width: int = 8192, depth: int = 4,
+                      candidates_per_block: int | None = None,
+                      verify: bool = True) -> pd.DataFrame:
+    """Heavy hitters over a token stream — the candidates-then-verify
+    composition a 100 TB vocabulary needs (round-4 verdict #7).
+
+    Exact counting of every token is a vocabulary-sized shuffle; this
+    pipeline never shuffles at all:
+
+    1. ONE fused streaming pass: each block emits its CMS partial
+       (``depth × width × 8`` byte blob, weighted adds — one add call
+       per distinct local token) AND its local top-``m`` tokens
+       (``m = candidates_per_block``, default 4k) as candidate rows.
+       The driver merges ≤ #blocks sketches and ≤ #blocks×m candidate
+       rows — a global heavy hitter is a local heavy hitter in some
+       block for any skewed distribution; the failure mode (a token
+       spread thinly under every local cutoff) is bounded by raising
+       ``candidates_per_block``.
+    2. The merged sketch point-estimates every distinct candidate;
+       top-k by (estimate desc, token asc) are the winners.
+    3. VERIFY (``verify=True``): one more streaming pass counts
+       EXACTLY the ≤k winning tokens (a broadcast membership filter —
+       no vocabulary shuffle), so the output carries both the
+       estimate and the exact count.
+
+    Returns (token, est_count[, exact_count], envelope) where
+    ``envelope = ceil(e/width · N)`` (N = total token occurrences) is
+    the CMS error bound at confidence ``1 − e^-depth``; the sketch
+    never undercounts, so ``est_count ≥ exact_count`` always and
+    ``est_count − exact_count ≤ envelope`` w.h.p. — both asserted by
+    tests/test_sketch.py against the exact bounded-bucket
+    :func:`~.sample.top_tokens`."""
+    from ..functions.hashing import hash_tokens
+
+    m = 4 * k if candidates_per_block is None else int(candidates_per_block)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b[text_col].fillna("").str.split().explode().dropna()
+        counts = toks.value_counts()  # sorted desc
+        s = CountMinSketch(width, depth)
+        if len(counts):
+            s.add_hashes(hash_tokens(counts.index.to_numpy()),
+                         weights=counts.to_numpy())
+        cand = counts.head(m)
+        # row 0 carries the sketch blob + the block's token total
+        # (token "" is unreachable: str.split never yields empty)
+        return pd.DataFrame({
+            "m": [s.to_bytes()] + [b""] * len(cand),
+            "token": [""] + list(cand.index),
+            "n": np.concatenate(
+                [[len(toks)], cand.to_numpy()]).astype(np.int64),
+        })
+
+    parts = ds.map_batches(partial, batch_format="pandas",
+                           batch_size=None).to_pandas()
+    cols = ["token", "est_count"] + (["exact_count"] if verify else []) \
+        + ["envelope"]
+    if not len(parts):
+        return pd.DataFrame({c: [] for c in cols})
+    blob_rows = parts["token"] == ""
+    sk = CountMinSketch(width, depth)
+    for blob in parts.loc[blob_rows, "m"]:
+        sk.merge(CountMinSketch.from_bytes(blob, width, depth))
+    n_total = int(parts.loc[blob_rows, "n"].sum())
+    cand = parts.loc[~blob_rows, "token"].drop_duplicates().to_numpy()
+    if not len(cand):
+        return pd.DataFrame({c: [] for c in cols})
+    est = sk.estimate_hashes(hash_tokens(cand))
+    order = np.lexsort((cand, -est))[:k]
+    top, top_est = cand[order], est[order]
+
+    out = pd.DataFrame({"token": top, "est_count": top_est.astype("int64")})
+    if verify:
+        want = set(top)  # ≤ k strings: closure-broadcast, no shuffle
+
+        def count_exact(b: pd.DataFrame) -> pd.DataFrame:
+            toks = b[text_col].fillna("").str.split().explode().dropna()
+            sub = toks[toks.isin(want)].value_counts()
+            return pd.DataFrame({"token": sub.index.to_numpy(),
+                                 "n": sub.to_numpy().astype(np.int64)})
+
+        ex = ds.map_batches(count_exact, batch_format="pandas",
+                            batch_size=None).to_pandas()
+        exact = ex.groupby("token")["n"].sum() if len(ex) else pd.Series(
+            dtype="int64")
+        out["exact_count"] = exact.reindex(top).fillna(0).astype(
+            "int64").to_numpy()
+    out["envelope"] = np.int64(np.ceil(np.e / width * n_total))
+    return out.reset_index(drop=True)
+
+
 def cms_estimate(sketch: CountMinSketch, values) -> np.ndarray:
     """Point-frequency estimates for ``values`` (over-estimates only)."""
     from ..functions.hashing import hash_tokens
