@@ -82,10 +82,58 @@ def test_query_matches_oracle(name, con):
 
 ROWS_ONLY = [k for k in entrymod.queries() if k not in entrymod.oracle_sql()]
 
+# ADVICE r4: every rows-only query sits PAST the driver's 50-entry
+# recording window, so this suite is its only per-round gate — assert
+# real schema + floor-row expectations, not just "it ran".  Column
+# sets are exact (sorted); row floors hold from sf0.001 upward (row
+# counts are monotone in sf except the fixed-k/top-k entries, which
+# are exact).
+ROWS_ONLY_EXPECT: dict[str, tuple[list[str], int]] = {
+    "q_minhash_clusters": (["cluster_id", "doc_id"], 100),
+    "q_extract_documents": (["doc_id", "n_spans"], 100),
+    "q_kind_histogram": (["kind", "n"], 3),
+    "q_simhash_pairs": (["a", "b", "hamming"], 5),
+    "q_extract_spans": (
+        ["doc_id", "kind", "media_ref", "offset", "page_num", "text"], 1000),
+    "q_chunks_direct": (
+        ["chunk_id", "confidence", "doc_id", "kind", "offset",
+         "structured_text"], 1000),
+    "q_chunks_typed": (
+        ["agent_notes", "chunk_id", "confidence", "doc_id", "kind",
+         "offset", "structured_text"], 1000),
+    "q_embed_chunks": (["chunk_id", "vec_sum"], 1000),
+    "q_simhash": (["doc_id", "simhash"], 100),
+    "q_ngram_jaccard": (["a", "b", "jaccard"], 5),
+    "q_knn_lsh": (["score", "vec_id"], 10),
+    "q_knn_store": (["score", "vec_id"], 10),
+    "q_knn_ivf": (["score", "vec_id"], 10),
+    "q_cms_heavy_hitters": (
+        ["envelope", "est_count", "exact_count", "token"], 20),
+    "q_routed_answer": (
+        ["answer_len", "insufficient_context", "is_grounded", "n_sources",
+         "question", "route"], 1),
+    "q_validated_chunks": (["n", "validation_outcome"], 1),
+    "q_classified_spans": (
+        ["doc_id", "kind", "layout_class", "offset", "table_schema"], 1000),
+    "q_media_features": (
+        ["doc_id", "feature", "height", "media_ref", "thumb_h", "thumb_w",
+         "width"], 500),
+}
+
+
+def test_rows_only_expectations_complete():
+    # a NEW rows-only query must declare its expectation here, so a
+    # demotion past the recording window can't silently drop its gate
+    assert sorted(ROWS_ONLY) == sorted(ROWS_ONLY_EXPECT)
+
 
 @pytest.mark.parametrize("name", ROWS_ONLY)
 def test_rows_only_queries_run(name):
     q = entrymod.queries()[name]
     got = _to_pandas(q(SF_DIR))
     assert got is not None
-    assert len(got) >= 0
+    want_cols, min_rows = ROWS_ONLY_EXPECT[name]
+    assert sorted(got.columns) == want_cols, (
+        f"{name}: columns {sorted(got.columns)} != {want_cols}")
+    assert len(got) >= min_rows, f"{name}: {len(got)} rows < {min_rows}"
+    assert not got.isna().all().any(), f"{name}: an all-NaN column"
