@@ -184,6 +184,35 @@ def cmd_pipeline(args) -> None:
     cmd_query(ns2)
 
 
+def cmd_analyze(args) -> None:
+    """Corpus analysis over an extraction output dir or any parquet:
+    token heavy hitters via the candidates-then-verify CMS pipeline
+    (one fused zero-shuffle pass + a broadcast-filtered exact count of
+    the k winners; rows carry their own e/width·N error envelope)."""
+    _ray_session()
+
+    from .ops.sketch import cms_heavy_hitters
+    from .sources.corpus import read_any
+    from .state.manifest import read_output_ds
+
+    if os.path.isdir(args.input) and (
+            os.path.isfile(os.path.join(args.input, "_RUN_METRICS.json"))
+            or os.path.isdir(os.path.join(args.input, "part=0"))):
+        # extraction output: (doc_id, spans) — explode to span rows
+        # (vectorized Arrow offsets) so the text column is flat
+        from .stages.reassemble import explode_spans_batch
+
+        ds = read_output_ds(args.input).map_batches(
+            explode_spans_batch, batch_format="pyarrow")
+        col = args.col or "text"
+    else:
+        col = args.col or "text"
+        ds = read_any(args.input, columns=[col])
+    out = cms_heavy_hitters(ds, col, k=args.k, width=args.width,
+                            depth=args.depth, verify=not args.no_verify)
+    print(out.to_json(orient="records"))
+
+
 def main(argv=None) -> None:
     p = argparse.ArgumentParser(prog="agentic_rag_for_multi_model_pdf_extraction_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -234,6 +263,22 @@ def main(argv=None) -> None:
                          "query dispatcher picks up")
     px.add_argument("--k", type=int, default=10, help="recall@k for --tune")
     px.set_defaults(fn=cmd_index)
+
+    pa_ = sub.add_parser("analyze", help="token heavy hitters over a "
+                                         "corpus (CMS candidates-then-"
+                                         "verify; self-reported error "
+                                         "envelope)")
+    pa_.add_argument("--input", required=True,
+                     help="extraction output dir, or a parquet file/dir")
+    pa_.add_argument("--col", default=None,
+                     help="text column (default: text; extraction "
+                          "output uses its span text column)")
+    pa_.add_argument("--k", type=int, default=20)
+    pa_.add_argument("--width", type=int, default=8192)
+    pa_.add_argument("--depth", type=int, default=4)
+    pa_.add_argument("--no-verify", action="store_true",
+                     help="skip the exact-count verify pass")
+    pa_.set_defaults(fn=cmd_analyze)
 
     pp = sub.add_parser("pipeline", help="ingest then query")
     pp.add_argument("question")

@@ -271,6 +271,7 @@ def run_extraction(
     concurrency=None,
     bucketed: bool = False,
     packed: bool = True,
+    stats_out: dict | None = None,
 ) -> list[dict]:
     """Resumable end-to-end extraction; returns the manifest rows.
 
@@ -344,11 +345,13 @@ def run_extraction(
     rows = rows.repartition(n_partitions)
 
     t0 = _time.perf_counter()
-    manifests = (
-        rows.groupby("part")
-        .map_groups(write_group, batch_format="pyarrow")
-        .take_all()
-    )
+    grouped = rows.groupby("part").map_groups(
+        write_group, batch_format="pyarrow")
+    manifests = grouped.take_all()
+    if stats_out is not None:
+        # the executed plan's per-operator timing/row profile — the
+        # evidence the volume-curve analysis reads
+        stats_out["stats"] = grouped.stats()
     # run-level metrics next to the partition manifests (the north
     # rule's "per-partition lineage + metrics"); the reference's
     # Langfuse tracing (T8) maps to this + Ray's per-operator stats

@@ -112,6 +112,7 @@ def run_bench() -> dict:
         "q_minhash_clusters", "q_ngram_jaccard", "q_knn", "q_knn_store",
         "q_cosine_pairs", "q_event_median_hist", "q_token_stats",
         "q_langid", "q_watermark_window", "q_range_join",
+        "q_cms_heavy_hitters",
     ]
     queries = {}
     qs = entrymod.queries()

@@ -119,3 +119,17 @@ def test_cli_synth_ingest_resume(tmp_path):
     assert r.returncode == 0, r.stderr[-500:]
     # stdout is the answer JSON truncated to 2000 chars (display sink)
     assert '"answer"' in r.stdout
+
+    # analyze: CMS heavy hitters over the extraction output, with the
+    # self-reported envelope honored (est >= exact, diff <= envelope)
+    r = subprocess.run(
+        [sys.executable, "-m", "agentic_rag_for_multi_model_pdf_extraction_ray",
+         "analyze", "--input", out, "--k", "5"],
+        capture_output=True, text=True, cwd="/root/repo", env=env,
+    )
+    assert r.returncode == 0, r.stderr[-500:]
+    rows = json.loads(r.stdout.strip().splitlines()[-1])
+    assert len(rows) == 5
+    for row in rows:
+        assert row["est_count"] >= row["exact_count"]
+        assert row["est_count"] - row["exact_count"] <= row["envelope"]
