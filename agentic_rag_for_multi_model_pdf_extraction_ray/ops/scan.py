@@ -27,13 +27,17 @@ driver-resident:
 The source dataset is consumed THREE times (profile, partials, scan).
 Above ``pin_threshold_rows`` it is never materialized — each pass
 streams with backpressure, which is the 100 TB trade: re-reading a
-pruned column beats pinning the corpus in the object store.  At or
-below the threshold (known exactly after the profiling pass) the
-default ``pin="auto"`` materializes once and feeds the remaining
-passes from the object store — re-reads dominate at small scale
-(interleaved A/B: ~40-60% slower unpinned at 1M rows).  For an
-EXPENSIVE computed upstream pass ``pin=True`` to materialize
-up-front regardless of size; ``pin=False`` forces pure streaming.
+pruned column beats pinning the corpus in the object store.  The
+default ``pin="auto"`` decides with a COUNTED pin
+(:func:`_counted_pin`): stream the source's block refs once, holding
+them, and bail out the moment the running row count exceeds the
+threshold — so a small source pays exactly ONE upstream execution
+(profile/partials/scan then read the pinned blocks; re-reads dominate
+at small scale, interleaved A/B: ~40-60% slower unpinned at 1M rows)
+while a huge source wastes at most ~threshold rows of partial work
+before the three passes stream as before.  For an EXPENSIVE computed
+upstream pass ``pin=True`` to materialize up-front regardless of
+size; ``pin=False`` forces pure streaming.
 
 Partitioning assumptions: the order key is integer-comparable, and
 one bucket (≈ ``rows_per_bucket`` rows, or corpus/``_MAX_BUCKETS`` at
@@ -88,26 +92,31 @@ def prefix_scan(ds: rd.Dataset, order_col: str, value_col: str,
     order value in every mode, which is all the two-level scan's
     correctness needs.
 
-    Pinning: ``pin="auto"`` (default) decides AFTER the profiling
-    pass, which yields an exact row count — a source at or below
-    ``pin_threshold_rows`` is materialized once and the partials/scan
-    passes read it from the object store (the round-5 interleaved A/B
-    measured three streaming re-reads ~40-60% slower than the pin at
-    1M rows, while above the threshold the pin is the 100 TB
-    anti-pattern the streaming path exists to avoid).  ``pin=True``
-    materializes up-front regardless of size (for expensive computed
-    upstreams); ``pin=False`` never materializes."""
+    Pinning: ``pin="auto"`` (default) runs a COUNTED pin — the source
+    executes once while its block refs are held, and the pin is
+    abandoned mid-stream if the running row count passes
+    ``pin_threshold_rows``.  A small source therefore pays exactly one
+    upstream execution (the profile then reads the pinned blocks; the
+    round-5 interleaved A/B measured three streaming re-reads ~40-60%
+    slower than the pin at 1M rows), while above the threshold at most
+    ~threshold rows of partial work are discarded and every pass
+    streams — pinning a 100 TB corpus is the anti-pattern the
+    streaming path exists to avoid.  ``pin=True`` materializes
+    up-front regardless of size (for expensive computed upstreams);
+    ``pin=False`` never materializes."""
     if op not in _OPS:
         raise ValueError(f"op must be one of {_OPS}")
     alias = alias or f"running_{op}"
     if pin is True:
         ds = ds.materialize()
+    elif pin == "auto":
+        pinned = _counted_pin(ds, pin_threshold_rows)
+        if pinned is not None:
+            ds = pinned
 
     from .dedup import _shuffle_width
 
     n_rows, samp = _profile(ds, order_col)
-    if pin == "auto" and 0 < n_rows <= pin_threshold_rows:
-        ds = ds.materialize()
     if n_rows == 0:
         # schema-stable empty result: just emit the alias column
         def tag_empty(b: pd.DataFrame) -> pd.DataFrame:
@@ -227,6 +236,46 @@ def prefix_scan(ds: rd.Dataset, order_col: str, value_col: str,
             .groupby("__bk")
             .map_groups(scan_group, batch_format="pandas")
             .repartition(width))
+
+
+def _counted_pin(src: rd.Dataset, threshold_rows: int) -> rd.Dataset | None:
+    """Execute ``src`` ONCE while deciding whether to pin it.
+
+    Streams the dataset's ``RefBundle``s — blocks land in the object
+    store as they are produced and holding their refs keeps them
+    alive; nothing is pulled to the driver — and bails out the moment
+    the running exact row count exceeds ``threshold_rows``.  Returns a
+    Dataset over the held blocks (the caller's profile/partials/scan
+    passes then read pinned Arrow, no upstream re-execution), or
+    ``None`` to stream: the abandoned partial execution is bounded at
+    ~``threshold_rows`` rows, the price of learning "too big" without
+    a full pass.  Unknown per-block row counts bail conservatively.
+
+    The identity ``map_batches`` normalizes blocks to Arrow so
+    ``from_arrow_refs`` is safe regardless of the upstream's block
+    format; on already-Arrow blocks it is zero-copy.
+    """
+    arrow = src.map_batches(lambda t: t, batch_format="pyarrow",
+                            batch_size=None)
+    refs: list = []
+    n = 0
+    it = arrow.iter_internal_ref_bundles()
+    try:
+        for bundle in it:
+            for block_ref, md in bundle.blocks:
+                if md.num_rows is None:
+                    return None
+                refs.append(block_ref)
+                n += md.num_rows
+            if n > threshold_rows:
+                return None
+    finally:
+        close = getattr(it, "close", None)
+        if close is not None:
+            close()
+    if not refs:
+        return None
+    return rd.from_arrow_refs(refs)
 
 
 def _profile(src: rd.Dataset, order_col: str,

@@ -717,27 +717,36 @@ def test_prefix_scan_streams_without_materialize(monkeypatch):
     assert len(out3) == 500
 
 
-def test_prefix_scan_auto_pins_small(monkeypatch):
-    # pin="auto" (default): a source at/below pin_threshold_rows is
-    # materialized exactly once AFTER the profile pass — re-reads
-    # dominate at small scale (round-5 interleaved A/B)
+def test_prefix_scan_auto_pins_small(tmp_path, monkeypatch):
+    # pin="auto" (default): a source at/below pin_threshold_rows pays
+    # exactly ONE upstream execution (the counted pin holds the block
+    # refs; profile/partials/scan read the pinned blocks) — re-reads
+    # dominate at small scale (round-5 interleaved A/B).  Dataset
+    # .materialize() is never used on the auto path at all.
     from agentic_rag_for_multi_model_pdf_extraction_ray.ops.scan import prefix_scan
 
-    calls = []
-    orig = rd.Dataset.materialize
+    def boom(self, *a, **k):
+        raise AssertionError("auto pin must not call materialize()")
 
-    def counting(self, *a, **k):
-        calls.append(1)
-        return orig(self, *a, **k)
+    monkeypatch.setattr(rd.Dataset, "materialize", boom)
 
-    monkeypatch.setattr(rd.Dataset, "materialize", counting)
+    probe = tmp_path / "exec_count"
+
+    def tally(t):
+        # one line per executed upstream batch; 4 blocks × batch_size=
+        # None → 4 lines per full execution of the source
+        with open(probe, "a") as f:
+            f.write("x\n")
+        return t
+
     df = pd.DataFrame({"k": np.arange(500, dtype=np.int64),
                        "v": np.ones(500, dtype=np.int64)})
-    ds = rd.from_pandas(df).repartition(4)
+    ds = rd.from_pandas(df).repartition(4).map_batches(
+        tally, batch_format="pyarrow", batch_size=None)
     out = prefix_scan(ds, "k", "v", op="sum").to_pandas().sort_values("k")
     assert np.array_equal(out["running_sum"].to_numpy(),
                           np.arange(1, 501, dtype=np.int64))
-    assert len(calls) == 1
+    assert probe.read_text().count("x") == 4  # one execution, 4 blocks
 
 
 def test_prefix_scan_pin_materializes_once(monkeypatch):
