@@ -118,7 +118,10 @@ def prefix_scan(ds: rd.Dataset, order_col: str, value_col: str,
 
     n_rows, samp = _profile(ds, order_col)
     if n_rows == 0:
-        # schema-stable empty result: just emit the alias column
+        # degenerate empty source: tag the alias column and return
+        # (note: Ray 2.49 itself drops schema through map_batches over
+        # zero-row blocks, so downstream .to_pandas() may still see no
+        # columns — rows are what's contractual here)
         def tag_empty(b: pd.DataFrame) -> pd.DataFrame:
             out = b.copy()
             out[alias] = np.float64() if scale else np.int64()
@@ -273,7 +276,10 @@ def _counted_pin(src: rd.Dataset, threshold_rows: int) -> rd.Dataset | None:
         close = getattr(it, "close", None)
         if close is not None:
             close()
-    if not refs:
+    if not refs or n == 0:
+        # don't pin an empty source: blocks of zero rows can carry an
+        # unknown schema, and the caller's schema-stable empty path
+        # needs the ORIGINAL dataset's column types
         return None
     return rd.from_arrow_refs(refs)
 

@@ -717,6 +717,37 @@ def test_prefix_scan_streams_without_materialize(monkeypatch):
     assert len(out3) == 500
 
 
+def test_prefix_scan_counted_pin_boundaries():
+    # threshold boundary: exactly-at-threshold pins, one-above bails
+    # to streaming; empty input degrades to the schema-stable empty
+    # path through the same counted-pin probe
+    from agentic_rag_for_multi_model_pdf_extraction_ray.ops.scan import (
+        _counted_pin,
+        prefix_scan,
+    )
+
+    df = pd.DataFrame({"k": np.arange(64, dtype=np.int64),
+                       "v": np.ones(64, dtype=np.int64)})
+    ds = rd.from_pandas(df).repartition(4)
+    assert _counted_pin(ds, 64) is not None       # == threshold: pin
+    assert _counted_pin(ds, 63) is None           # > threshold: stream
+    empty = rd.from_pandas(df.iloc[:0])
+    # empty source must NOT pin: zero-row blocks can carry an unknown
+    # schema and the schema-stable empty path needs the original types
+    assert _counted_pin(empty, 64) is None
+    out = prefix_scan(empty, "k", "v", op="sum").to_pandas()
+    # Ray 2.49 drops schema through map_batches over zero-row blocks,
+    # so only the row count is checkable here
+    assert len(out) == 0
+    # both boundary modes produce the same scan
+    lo = prefix_scan(ds, "k", "v", op="sum",
+                     pin_threshold_rows=64).to_pandas().sort_values("k")
+    hi = prefix_scan(ds, "k", "v", op="sum",
+                     pin_threshold_rows=63).to_pandas().sort_values("k")
+    assert np.array_equal(lo["running_sum"].to_numpy(),
+                          hi["running_sum"].to_numpy())
+
+
 def test_prefix_scan_auto_pins_small(tmp_path, monkeypatch):
     # pin="auto" (default): a source at/below pin_threshold_rows pays
     # exactly ONE upstream execution (the counted pin holds the block
