@@ -41,6 +41,7 @@ from ..functions.hashing import (
 )
 from ..functions.rounding import round_half_up
 from ..functions.text import fingerprint_batch
+from ..util import default_actor_pool
 
 # ---------- exact ----------
 
@@ -623,10 +624,17 @@ class SignatureStage:
 
 def minhash_signature_table(ds: rd.Dataset, num_perm: int = 64, shingle_k: int = 5,
                             id_col: str = "doc_id", text_col: str = "text",
-                            concurrency: int = 2) -> rd.Dataset:
+                            concurrency=None) -> rd.Dataset:
     """One heavy pass over the corpus → materialized (id, sig) table
     (512 B/doc at num_perm=64) that feeds both LSH blocking and pair
-    verification, so raw text is never re-scanned."""
+    verification, so raw text is never re-scanned.
+
+    ``concurrency=None`` (default) → autoscaling actor pool
+    ``util.default_actor_pool()``: 2 actors on small inputs, up to
+    half the cluster CPUs on backlog (a fixed pool of 2 left 30 of 32
+    CPUs idle at 16× volume — round-5 curve)."""
+    if concurrency is None:
+        concurrency = default_actor_pool()
     return ds.map_batches(
         SignatureStage,
         fn_constructor_kwargs=dict(num_perm=num_perm, shingle_k=shingle_k,
@@ -694,7 +702,7 @@ def minhash_candidates(sig_ds: rd.Dataset, num_perm: int = 64, num_bands: int = 
 def minhash_cluster_labels(ds: rd.Dataset, threshold: float = 0.7, num_perm: int = 64,
                            num_bands: int = 16, shingle_k: int = 5,
                            id_col: str = "doc_id", text_col: str = "text",
-                           concurrency: int = 2, pair_cap: int = 64,
+                           concurrency=None, pair_cap: int = 64,
                            small_edges_threshold: int = 2_000_000) -> rd.Dataset:
     """Full near-dup pass → Dataset (id, cluster_id=min id of its
     cluster) — every stage distributed:
@@ -779,7 +787,7 @@ def _union_find_labels(edges: pd.DataFrame) -> rd.Dataset:
 def minhash_dedup_clusters(ds: rd.Dataset, threshold: float = 0.7, num_perm: int = 64,
                            num_bands: int = 16, shingle_k: int = 5,
                            id_col: str = "doc_id", text_col: str = "text",
-                           concurrency: int = 2) -> pd.DataFrame:
+                           concurrency=None) -> pd.DataFrame:
     """Collected (small-result) wrapper around
     :func:`minhash_cluster_labels` — at corpus scale, write the
     labels Dataset to parquet instead of collecting."""
@@ -827,7 +835,9 @@ class SimHashStage:
         )
 
 
-def simhash_signatures(ds: rd.Dataset, concurrency: int = 2) -> rd.Dataset:
+def simhash_signatures(ds: rd.Dataset, concurrency=None) -> rd.Dataset:
+    if concurrency is None:
+        concurrency = default_actor_pool()
     return ds.map_batches(SimHashStage, batch_format="pandas", concurrency=concurrency)
 
 
@@ -838,7 +848,7 @@ def _popcount64(x: np.ndarray) -> np.ndarray:
 
 
 def simhash_near_dup_pairs(ds: rd.Dataset, max_hamming: int = 3,
-                           concurrency: int = 2, pair_cap: int = 256,
+                           concurrency=None, pair_cap: int = 256,
                            n_super_buckets: int | None = None) -> rd.Dataset:
     """Near-dup pairs by SimHash: 4×16-bit band blocking (pigeonhole:
     any pair with Hamming ≤ 3 shares at least one of 4 bands), verify
@@ -888,7 +898,7 @@ def simhash_near_dup_pairs(ds: rd.Dataset, max_hamming: int = 3,
     return _distinct_pairs(cand, extra_cols=("hamming",))
 
 
-def simhash_near_dups(ds: rd.Dataset, max_hamming: int = 3, concurrency: int = 2) -> pd.DataFrame:
+def simhash_near_dups(ds: rd.Dataset, max_hamming: int = 3, concurrency=None) -> pd.DataFrame:
     """Collected wrapper around :func:`simhash_near_dup_pairs`."""
     out = simhash_near_dup_pairs(ds, max_hamming, concurrency).to_pandas()
     if not len(out):

@@ -19,6 +19,8 @@ import ray.data as rd
 
 from ..functions.hashing import hash_tokens
 
+from ..util import default_actor_pool
+
 
 class HashingEmbedder:
     """Callable-class stage: adds an ``embedding`` (list<float32>[dim])
@@ -66,7 +68,9 @@ class HashingEmbedder:
 
 
 def embed(ds: rd.Dataset, dim: int = 384, text_col: str = "structured_text",
-          concurrency: int = 2, batch_size: int = 256) -> rd.Dataset:
+          concurrency=None, batch_size: int = 256) -> rd.Dataset:
+    if concurrency is None:
+        concurrency = default_actor_pool()
     return ds.map_batches(
         HashingEmbedder,
         fn_constructor_kwargs={"dim": dim, "text_col": text_col},

@@ -23,6 +23,8 @@ import pandas as pd
 import pyarrow as pa
 import ray.data as rd
 
+from ..util import default_actor_pool
+
 try:  # gated: not present in this container
     from PIL import Image  # noqa: F401
 
@@ -207,10 +209,12 @@ class MediaFeatureExtractor:
         return batch
 
 
-def extract_media_features(raw_ds: rd.Dataset, concurrency: int = 2,
+def extract_media_features(raw_ds: rd.Dataset, concurrency=None,
                            batch_size: int = 32) -> rd.Dataset:
     """documents_raw → per-media feature rows (decode on an actor pool,
     small batches because rows carry binary payloads)."""
+    if concurrency is None:
+        concurrency = default_actor_pool()
     media_rows = raw_ds.map_batches(explode_media_batch, batch_format="pyarrow")
     return media_rows.map_batches(
         MediaFeatureExtractor,

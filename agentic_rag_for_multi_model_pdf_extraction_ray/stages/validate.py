@@ -28,6 +28,8 @@ import numpy as np
 import pandas as pd
 import ray.data as rd
 
+from ..util import default_actor_pool
+
 _WORD_RE = re.compile(r"[A-Za-z0-9]+")
 
 ACCEPT = "accepted"
@@ -85,9 +87,11 @@ class ChunkValidator:
 
 
 def validate_chunks(chunks: rd.Dataset, discard_below: float = 0.25,
-                    concurrency: int = 2) -> rd.Dataset:
+                    concurrency=None) -> rd.Dataset:
     """Checkpoint A over a chunk Dataset; discarded rows are filtered
     (the reference's accept/correct/discard loop, vectorized)."""
+    if concurrency is None:
+        concurrency = default_actor_pool()
     judged = chunks.map_batches(
         ChunkValidator,
         fn_constructor_args=(discard_below,),
