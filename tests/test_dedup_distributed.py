@@ -254,3 +254,37 @@ def test_minhash_small_path_matches_distributed_cc():
     sm = dict(zip(small["doc_id"], small["cluster_id"]))
     dm = dict(zip(dist["doc_id"], dist["cluster_id"]))
     assert sm == dm and len(sm) == len(rows)
+
+
+def test_minhash_inline_verify_matches_join_verify():
+    # the default in-bucket signature-agreement verify must produce
+    # exactly the labels of the pair-join verify path on a randomized
+    # dup-structured corpus (near-dup families + unique docs + empties)
+    from agentic_rag_for_multi_model_pdf_extraction_ray.ops.dedup import (
+        minhash_cluster_labels,
+    )
+
+    rng = np.random.default_rng(7)
+    words = [f"w{c}" for c in range(60)]
+    rows = []
+    did = 0
+    for fam in range(8):
+        base = " ".join(rng.choice(words, size=40))
+        for v in range(int(rng.integers(1, 5))):
+            mut = base + " " + " ".join(rng.choice(words, size=v))
+            rows.append({"doc_id": did, "text": mut})
+            did += 1
+    for _ in range(10):
+        rows.append({"doc_id": did,
+                     "text": " ".join(rng.choice(words, size=40))})
+        did += 1
+    rows.append({"doc_id": did, "text": ""})
+    ds = rd.from_pandas(pd.DataFrame(rows)).repartition(4)
+    inline = minhash_cluster_labels(ds, threshold=0.6).to_pandas()
+    joined = minhash_cluster_labels(ds, threshold=0.6,
+                                    verify="join").to_pandas()
+    im = dict(zip(inline["doc_id"], inline["cluster_id"]))
+    jm = dict(zip(joined["doc_id"], joined["cluster_id"]))
+    assert im == jm and len(im) == len(rows)
+    # the dup families must actually cluster (not all singletons)
+    assert len(set(im.values())) < len(rows)
