@@ -44,7 +44,7 @@ from ..functions.hashing import (
 )
 from ..functions.rounding import round_half_up
 from ..functions.text import fingerprint_batch
-from ..util import default_actor_pool
+from ..util import counted_pin, default_actor_pool
 
 # ---------- exact ----------
 
@@ -1036,9 +1036,17 @@ def _gram_hashes(text: str, n: int) -> np.ndarray:
 
 
 def ngram_feature_table(ds: rd.Dataset, n: int = 3, id_col: str = "doc_id",
-                        text_col: str = "text") -> rd.Dataset:
-    """One pass over the corpus → materialized (id, grams-as-bytes)
-    feature table feeding both blocking and verification."""
+                        text_col: str = "text",
+                        pin_threshold_rows: int = 8_000_000) -> rd.Dataset:
+    """One pass over the corpus → (id, grams-as-bytes) feature table
+    feeding both blocking and verification.
+
+    The grams blob is roughly INPUT-sized (unlike the 512 B/doc
+    minhash signatures), so pinning it is the 100 TB anti-pattern —
+    a :func:`..util.counted_pin` pins it only while it stays at or
+    under ``pin_threshold_rows``; above that the lazy table streams
+    and each consumer pays a re-execution of the gram pass (the same
+    re-read-beats-pin trade prefix_scan makes)."""
 
     def feats(batch: pd.DataFrame) -> pd.DataFrame:
         per_doc = _gram_hashes_batch(batch[text_col].tolist(), n)
@@ -1052,7 +1060,9 @@ def ngram_feature_table(ds: rd.Dataset, n: int = 3, id_col: str = "doc_id",
         return pd.DataFrame({"doc_id": ids, "grams": blobs,
                              "sz": np.asarray(sizes, dtype=np.int64)})
 
-    return ds.map_batches(feats, batch_format="pandas").materialize()
+    lazy = ds.map_batches(feats, batch_format="pandas")
+    pinned = counted_pin(lazy, pin_threshold_rows)
+    return pinned if pinned is not None else lazy
 
 
 def ngram_jaccard_pair_ds(ds: rd.Dataset, n: int = 3, threshold: float = 0.5,
@@ -1377,8 +1387,12 @@ def cosine_lsh_pair_ds(ds: rd.Dataset, threshold: float = 0.95, n_bits: int = 10
         return pd.DataFrame({"doc_id": b[id_col].to_numpy(),
                              "vecb": [r.tobytes() for r in M]})
 
-    feats = ds.select_columns([id_col, vec_col]).map_batches(
-        vec_feats, batch_format="pandas").materialize()
+    # normalized-vector blobs are input-sized — counted pin, not a
+    # corpus materialize (streams + re-executes above the threshold)
+    _lazy = ds.select_columns([id_col, vec_col]).map_batches(
+        vec_feats, batch_format="pandas")
+    _pinned = counted_pin(_lazy, 8_000_000)
+    feats = _pinned if _pinned is not None else _lazy
 
     def cos(fa: list, fb: list) -> np.ndarray:
         A = np.stack([np.frombuffer(x, dtype=np.float64) for x in fa])

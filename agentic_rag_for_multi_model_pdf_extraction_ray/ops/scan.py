@@ -29,7 +29,7 @@ Above ``pin_threshold_rows`` it is never materialized — each pass
 streams with backpressure, which is the 100 TB trade: re-reading a
 pruned column beats pinning the corpus in the object store.  The
 default ``pin="auto"`` decides with a COUNTED pin
-(:func:`_counted_pin`): stream the source's block refs once, holding
+(:func:`..util.counted_pin`): stream the source's block refs once, holding
 them, and bail out the moment the running row count exceeds the
 threshold — so a small source pays exactly ONE upstream execution
 (profile/partials/scan then read the pinned blocks; re-reads dominate
@@ -58,6 +58,8 @@ import pandas as pd
 import pyarrow as pa
 import ray
 import ray.data as rd
+
+from ..util import counted_pin
 
 _OPS = {"sum", "max"}
 
@@ -110,7 +112,7 @@ def prefix_scan(ds: rd.Dataset, order_col: str, value_col: str,
     if pin is True:
         ds = ds.materialize()
     elif pin == "auto":
-        pinned = _counted_pin(ds, pin_threshold_rows)
+        pinned = counted_pin(ds, pin_threshold_rows)
         if pinned is not None:
             ds = pinned
 
@@ -239,49 +241,6 @@ def prefix_scan(ds: rd.Dataset, order_col: str, value_col: str,
             .groupby("__bk")
             .map_groups(scan_group, batch_format="pandas")
             .repartition(width))
-
-
-def _counted_pin(src: rd.Dataset, threshold_rows: int) -> rd.Dataset | None:
-    """Execute ``src`` ONCE while deciding whether to pin it.
-
-    Streams the dataset's ``RefBundle``s — blocks land in the object
-    store as they are produced and holding their refs keeps them
-    alive; nothing is pulled to the driver — and bails out the moment
-    the running exact row count exceeds ``threshold_rows``.  Returns a
-    Dataset over the held blocks (the caller's profile/partials/scan
-    passes then read pinned Arrow, no upstream re-execution), or
-    ``None`` to stream: the abandoned partial execution is bounded at
-    ~``threshold_rows`` rows, the price of learning "too big" without
-    a full pass.  Unknown per-block row counts bail conservatively.
-
-    The identity ``map_batches`` normalizes blocks to Arrow so
-    ``from_arrow_refs`` is safe regardless of the upstream's block
-    format; on already-Arrow blocks it is zero-copy.
-    """
-    arrow = src.map_batches(lambda t: t, batch_format="pyarrow",
-                            batch_size=None)
-    refs: list = []
-    n = 0
-    it = arrow.iter_internal_ref_bundles()
-    try:
-        for bundle in it:
-            for block_ref, md in bundle.blocks:
-                if md.num_rows is None:
-                    return None
-                refs.append(block_ref)
-                n += md.num_rows
-            if n > threshold_rows:
-                return None
-    finally:
-        close = getattr(it, "close", None)
-        if close is not None:
-            close()
-    if not refs or n == 0:
-        # don't pin an empty source: blocks of zero rows can carry an
-        # unknown schema, and the caller's schema-stable empty path
-        # needs the ORIGINAL dataset's column types
-        return None
-    return rd.from_arrow_refs(refs)
 
 
 def _profile(src: rd.Dataset, order_col: str,

@@ -721,9 +721,9 @@ def test_prefix_scan_counted_pin_boundaries():
     # threshold boundary: exactly-at-threshold pins, one-above bails
     # to streaming; empty input degrades to the schema-stable empty
     # path through the same counted-pin probe
-    from agentic_rag_for_multi_model_pdf_extraction_ray.ops.scan import (
-        _counted_pin,
-        prefix_scan,
+    from agentic_rag_for_multi_model_pdf_extraction_ray.ops.scan import prefix_scan
+    from agentic_rag_for_multi_model_pdf_extraction_ray.util import (
+        counted_pin as _counted_pin,
     )
 
     df = pd.DataFrame({"k": np.arange(64, dtype=np.int64),
