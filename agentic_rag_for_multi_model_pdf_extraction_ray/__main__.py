@@ -97,7 +97,7 @@ def cmd_query(args) -> None:
     # page_num is not persisted in the packed layout; chunk transform
     # tolerates its absence
     chunks = transform_chunks(rd.from_arrow(span_rows), mode="direct")
-    with_vecs = embed(chunks, dim=args.dim, concurrency=2)
+    with_vecs = embed(chunks, dim=args.dim)
     if getattr(args, "routed", False):
         ans = answer_question_routed(with_vecs, args.question, dim=args.dim,
                                      validate=not args.no_validate,
@@ -137,7 +137,7 @@ def cmd_index(args) -> None:
     docs = read_output(args.chunks)
     chunks = transform_chunks(rd.from_arrow(explode_spans_batch(docs)),
                               mode="direct")
-    with_vecs = embed(chunks, dim=args.dim, concurrency=2)
+    with_vecs = embed(chunks, dim=args.dim)
     if args.tune:
         # the tuner's ground-truth pass re-reads the dataset; pin the
         # embedded blocks once instead of re-running the embed stage
