@@ -256,6 +256,36 @@ def test_minhash_small_path_matches_distributed_cc():
     assert sm == dm and len(sm) == len(rows)
 
 
+def test_feature_tables_stream_identically_when_pin_bails(monkeypatch):
+    # the 100 TB path: when counted_pin declines (input-sized feature
+    # table above threshold), the lazy table re-executes per consumer
+    # — results must be identical to the pinned path for both ngram
+    # Jaccard and cosine LSH
+    import agentic_rag_for_multi_model_pdf_extraction_ray.ops.dedup as dd
+
+    docs = rd.from_pandas(pd.DataFrame([
+        {"doc_id": 1, "text": "a b c d e f g h"},
+        {"doc_id": 2, "text": "a b c d e f g x"},
+        {"doc_id": 3, "text": "q r s t u v w z"},
+    ])).repartition(2)
+    vecs = rd.from_pandas(pd.DataFrame([
+        {"vec_id": 1, "embedding": [1.0, 0.0, 0.0]},
+        {"vec_id": 2, "embedding": [0.99, 0.01, 0.0]},
+        {"vec_id": 3, "embedding": [0.0, 1.0, 0.0]},
+    ])).repartition(2)
+
+    def run():
+        ng = dd.ngram_jaccard_pairs(docs, n=3, threshold=0.3)
+        cs = dd.cosine_lsh_pair_ds(vecs, threshold=0.95).to_pandas()
+        return (set(zip(ng["a"], ng["b"])), set(zip(cs["a"], cs["b"])))
+
+    pinned = run()
+    monkeypatch.setattr(dd, "counted_pin", lambda src, thr: None)
+    streamed = run()
+    assert pinned == streamed
+    assert pinned[0] == {(1, 2)} and pinned[1] == {(1, 2)}
+
+
 def test_minhash_inline_verify_matches_join_verify():
     # the default in-bucket signature-agreement verify must produce
     # exactly the labels of the pair-join verify path on a randomized
